@@ -1,0 +1,79 @@
+"""Java-semantics compatibility helpers.
+
+The reference ranker's candidate-generation order is Java ``HashSet``
+iteration order (``ranker/Ranker.java:83-111`` iterates ``words_sw``, a
+``HashSet<String>``), and quirk Q5 (first matching term's tf dropped,
+SURVEY.md §7) makes document *scores* depend on that order.  Java string
+hashing and HashMap bucket layout are fully deterministic, so we reproduce
+the order exactly instead of waving it off as "nondeterministic".
+"""
+
+from __future__ import annotations
+
+
+def java_string_hash(s: str) -> int:
+    """``String.hashCode()``: h = 31*h + c over UTF-16 code units, int32."""
+    h = 0
+    for ch in s:
+        cp = ord(ch)
+        if cp > 0xFFFF:  # surrogate pair, two UTF-16 units
+            cp -= 0x10000
+            for unit in (0xD800 + (cp >> 10), 0xDC00 + (cp & 0x3FF)):
+                h = (31 * h + unit) & 0xFFFFFFFF
+        else:
+            h = (31 * h + cp) & 0xFFFFFFFF
+    return h - 0x100000000 if h >= 0x80000000 else h
+
+
+def _hashmap_spread(h: int) -> int:
+    """``HashMap.hash()``: h ^ (h >>> 16) on the int32 hash."""
+    uh = h & 0xFFFFFFFF
+    return (uh ^ (uh >> 16)) & 0xFFFFFFFF
+
+
+def _table_size_for(cap: int) -> int:
+    n = max(cap, 1)
+    size = 1
+    while size < n:
+        size <<= 1
+    return max(size, 16) if cap >= 16 else size
+
+
+def java_hashset_order(items: list[str], initial_from_collection: bool = False) -> list[str]:
+    """Iteration order of a ``HashSet<String>`` built by inserting ``items``
+    in order (duplicates ignored).
+
+    ``initial_from_collection=True`` models ``new HashSet<>(coll)`` which
+    presizes to ``max(16, size/0.75 + 1)`` (``HashSet.java``); otherwise the
+    default capacity 16 with doubling at load factor 0.75.  Java 8+ resize
+    preserves relative insertion order within each split bucket for
+    linked-list bins, so iterating buckets of the *final* table in insertion
+    order per bucket reproduces iteration exactly (bins under 8 entries,
+    i.e. every realistic query).
+    """
+    seen: list[str] = []
+    seen_set: set[str] = set()
+    for it in items:
+        if it not in seen_set:
+            seen.append(it)
+            seen_set.add(it)
+    n = len(seen)
+    if initial_from_collection:
+        cap = _table_size_for(max(16, int(n / 0.75) + 1))
+    else:
+        cap = 16
+        # default-capacity table doubles when size exceeds cap * 0.75
+        while n > cap * 0.75:
+            cap <<= 1
+    order = sorted(
+        range(n),
+        key=lambda i: (_hashmap_spread(java_string_hash(seen[i])) & (cap - 1), i),
+    )
+    return [seen[i] for i in order]
+
+
+def java_hashmap_value_order(keys: list[str]) -> list[str]:
+    """Values-iteration order of a ``HashMap<String, V>`` populated by
+    inserting ``keys`` in order with default capacity.  Same bucket model as
+    :func:`java_hashset_order`."""
+    return java_hashset_order(keys, initial_from_collection=False)

@@ -1,0 +1,320 @@
+"""Distributed inverted-index build (the reference Indexer/Idf pipeline,
+re-expressed Spark-first).
+
+Reference semantics: ``jobs/Indexer.java:27-191`` (tokenize → postings →
+ntf), ``jobs/Idf.java:22-87`` (df/idf), ``ranker/CrawlProcess.java:19-66``
+(title/snippet metadata).  The reference's SPIMI machinery — append-only
+segment writes, 8-way external sort, binary merge, same-key collapse
+(``kvs/AppendOnly.java:139-155``, ``jobs/Sort.java``) — is exactly what
+Spark's sort-based shuffle does natively, so the "merge" here IS the
+shuffle; we add what Spark does not give us (SURVEY.md §4): head-term skew
+salting for the posting aggregation and per-bucket resumable orchestration.
+
+Scale design (100 TB / 10^12 turns):
+- one pass over the corpus tokenizes via ``mapInPandas`` (Arrow batches,
+  vectorized pandas inside — no per-row Python);
+- the (term, doc, tf) stream is written partitioned by ``bucket =
+  pmod(xxhash64(term), B)`` so every downstream job is partition-pruned
+  per bucket and the build is resumable at bucket granularity;
+- ntf / df / idf are pure JVM aggregations (whole-stage codegen, map-side
+  partial agg);
+- posting-list aggregation is two-phase with a salt on the doc key:
+  ``groupBy(term, salt)`` builds doc-ordered runs, ``groupBy(term)``
+  concatenates+re-sorts the ≤S runs — the hot stopword-like terms
+  (Zipf head) never funnel their full posting stream through one task's
+  sort buffer in phase 1;
+- on a cluster every output table is Iceberg partitioned by
+  ``bucket(B, term)``; in this sandbox plain parquet ``bucket=K/``
+  directories give the same pruning via partition discovery.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+DOC_COLS = ["conv_id", "turn_idx"]
+DEFAULT_BUCKETS = 8
+DEFAULT_SALT = 16
+
+
+def tokenize_terms(
+    df: DataFrame,
+    dictionary: frozenset[str],
+    doc_cols: list[str] | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus → one row per (doc, term) with tf.
+
+    Vectorized two-pass tokenization (quirks Q6/Q7) runs per Arrow batch in
+    ``mapInPandas``; the dictionary is shipped once per executor via a Spark
+    broadcast, not per task.
+    """
+    doc_cols = doc_cols or DOC_COLS
+    spark = df.sparkSession
+    bdict = spark.sparkContext.broadcast(dictionary)
+
+    src_schema = dict(zip(df.schema.names, [f.dataType.simpleString() for f in df.schema.fields]))
+    doc_schema = ", ".join(f"{c} {src_schema[c]}" for c in doc_cols)
+    out_schema = f"{doc_schema}, term string, tf int"
+
+    def tok(batches):
+        from ..functions.tokenizer import tokenize_batch
+
+        d = bdict.value
+        for pdf in batches:
+            if len(pdf):
+                out = tokenize_batch(pdf, d, doc_cols, text_col)
+                out["tf"] = out["tf"].astype("int32")
+                yield out
+
+    return df.select(*doc_cols, text_col).mapInPandas(tok, schema=out_schema)
+
+
+def build_ntf(term_tf: DataFrame, doc_cols: list[str] | None = None) -> DataFrame:
+    """Quirk Q1 (``Indexer.java:131-139``): ntf = (Σ tf²)^¼.  Pure JVM
+    aggregation with map-side combine."""
+    doc_cols = doc_cols or DOC_COLS
+    return term_tf.groupBy(*doc_cols).agg(
+        F.pow(F.sum(F.col("tf").cast("double") * F.col("tf")), F.lit(0.25)).alias("ntf")
+    )
+
+
+def build_wmetric(term_tf: DataFrame, n_docs: int) -> DataFrame:
+    """Quirk Q3 (``Idf.java:46``): df = postings_count + 1; idf = ln(N/df).
+
+    N is a parameter (the reference hard-codes 462,821 at ``Idf.java:33``;
+    we pass the actual corpus size).
+    """
+    return (
+        term_tf.groupBy("term")
+        .agg((F.count(F.lit(1)) + F.lit(1)).alias("df"))
+        .withColumn("idf", F.log(F.lit(float(n_docs)) / F.col("df")))
+    )
+
+
+def build_postings(
+    term_tf: DataFrame,
+    doc_cols: list[str] | None = None,
+    salt: int = DEFAULT_SALT,
+) -> DataFrame:
+    """term → doc-ordered ``array<struct<doc..., tf>>`` via salted two-phase
+    aggregation (SURVEY.md §4 custom work #1).
+
+    Phase 1 groups on ``(term, salt(doc))`` so a Zipf-head term's postings
+    are built as ``salt`` doc-ordered runs in parallel; phase 2 concatenates
+    the runs and re-sorts (cheap: ≤ ``salt`` pre-sorted arrays per term).
+    """
+    doc_cols = doc_cols or DOC_COLS
+    doc_struct = F.struct(*[F.col(c) for c in doc_cols], F.col("tf"))
+    salted = term_tf.withColumn(
+        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in doc_cols]), F.lit(salt))
+    )
+    phase1 = salted.groupBy("term", "_salt").agg(
+        F.sort_array(F.collect_list(doc_struct)).alias("run")
+    )
+    phase2 = phase1.groupBy("term").agg(
+        F.array_sort(F.flatten(F.collect_list("run"))).alias("postings")
+    )
+    return phase2.withColumn("df", F.size("postings"))
+
+
+def build_doc_meta(
+    df: DataFrame, doc_cols: list[str] | None = None, text_col: str = "text"
+) -> DataFrame:
+    """Title/snippet per ``CrawlProcess.java:49-56`` default path (first 60 /
+    300 chars of tag- and punct/control-stripped text).  Spark's
+    ``regexp_replace`` uses Java regex, so the patterns are byte-identical
+    to the reference's."""
+    doc_cols = doc_cols or DOC_COLS
+    stripped = F.regexp_replace(
+        F.regexp_replace(F.col(text_col), r"\<.*?\>", " "),
+        r"[.,:;!?'\"()\-\p{Cntrl}]",
+        " ",
+    )
+    return df.select(
+        *doc_cols,
+        F.substring(stripped, 1, 60).alias("title"),
+        F.substring(stripped, 1, 300).alias("snippet"),
+    )
+
+
+@dataclass
+class IndexPaths:
+    root: str
+
+    @property
+    def term_tf(self) -> str:
+        return os.path.join(self.root, "term_tf")
+
+    @property
+    def ntf(self) -> str:
+        return os.path.join(self.root, "ntf")
+
+    @property
+    def wmetric(self) -> str:
+        return os.path.join(self.root, "wmetric")
+
+    @property
+    def doc_meta(self) -> str:
+        return os.path.join(self.root, "doc_meta")
+
+    @property
+    def postings(self) -> str:
+        return os.path.join(self.root, "postings")
+
+    @property
+    def blocks(self) -> str:
+        return os.path.join(self.root, "blocks")
+
+    @property
+    def manifest(self) -> str:
+        return os.path.join(self.root, "_manifest")
+
+    @property
+    def meta_json(self) -> str:
+        return os.path.join(self.root, "_meta.json")
+
+
+def _manifest_path(paths: IndexPaths, stage: str, bucket: int | None = None) -> str:
+    name = f"{stage}.json" if bucket is None else f"{stage}_bucket_{bucket:04d}.json"
+    return os.path.join(paths.manifest, name)
+
+
+def _manifest_done(paths: IndexPaths, stage: str, bucket: int | None = None) -> bool:
+    p = _manifest_path(paths, stage, bucket)
+    if not os.path.exists(p):
+        return False
+    try:
+        with open(p) as f:
+            return json.load(f).get("status") == "done"
+    except Exception:
+        return False
+
+
+def _manifest_write(paths: IndexPaths, stage: str, record: dict, bucket: int | None = None) -> None:
+    os.makedirs(paths.manifest, exist_ok=True)
+    p = _manifest_path(paths, stage, bucket)
+    tmp = p + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"status": "done", **record}, f)
+    os.replace(tmp, p)  # atomic: a bucket is either fully done or absent
+
+
+def build_index(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    out_dir: str,
+    dictionary: frozenset[str],
+    doc_cols: list[str] | None = None,
+    text_col: str = "text",
+    buckets: int = DEFAULT_BUCKETS,
+    salt: int = DEFAULT_SALT,
+    n_for_idf: int | None = None,
+    build_blocks: bool = True,
+    resume: bool = True,
+) -> IndexPaths:
+    """Full resumable build: stage A (tokenize + stats, one corpus pass),
+    stage B (per-term-hash-bucket posting lists).
+
+    Restart skips completed stages/buckets via the ``_manifest`` records
+    (precedent: the reference crawler's resume-from-table,
+    ``jobs/Crawler.java:28-31``).
+    """
+    doc_cols = doc_cols or DOC_COLS
+    paths = IndexPaths(out_dir)
+    os.makedirs(out_dir, exist_ok=True)
+
+    # ---- stage A: tokenize once; bucket-partitioned term stream + stats
+    if not (resume and _manifest_done(paths, "stage_a")):
+        t0 = time.time()
+        term_tf = tokenize_terms(transcripts, dictionary, doc_cols, text_col)
+        term_tf = term_tf.withColumn(
+            "bucket", F.pmod(F.xxhash64("term"), F.lit(buckets)).cast("int")
+        )
+        (
+            term_tf.repartition(F.col("bucket"))
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(paths.term_tf)
+        )
+        term_tf_r = spark.read.parquet(paths.term_tf)
+        build_ntf(term_tf_r, doc_cols).write.mode("overwrite").parquet(paths.ntf)
+        n_docs = transcripts.select(*doc_cols).distinct().count()
+        n_idf = n_for_idf if n_for_idf is not None else n_docs
+        build_wmetric(term_tf_r, n_idf).write.mode("overwrite").parquet(paths.wmetric)
+        build_doc_meta(transcripts, doc_cols, text_col).write.mode("overwrite").parquet(
+            paths.doc_meta
+        )
+        n_turns = transcripts.count()
+        wall = time.time() - t0
+        with open(paths.meta_json, "w") as f:
+            json.dump(
+                {
+                    "doc_cols": doc_cols,
+                    "n_docs": n_docs,
+                    "n_for_idf": n_idf,
+                    "n_turns": n_turns,
+                    "buckets": buckets,
+                },
+                f,
+            )
+        _manifest_write(
+            paths,
+            "stage_a",
+            {
+                "n_turns": n_turns,
+                "n_docs": n_docs,
+                "wall_sec": wall,
+                "turns_per_sec": n_turns / wall if wall else None,
+            },
+        )
+
+    # ---- stage B: per-bucket posting lists (resumable, parallelizable)
+    for b in range(buckets):
+        if resume and _manifest_done(paths, "postings", b):
+            continue
+        t0 = time.time()
+        bucket_tf = spark.read.parquet(paths.term_tf).where(F.col("bucket") == b)
+        postings = build_postings(bucket_tf.drop("bucket"), doc_cols, salt)
+        postings.write.mode("overwrite").parquet(
+            os.path.join(paths.postings, f"bucket={b}")
+        )
+        out = spark.read.parquet(os.path.join(paths.postings, f"bucket={b}"))
+        n_terms = out.count()
+        n_postings = out.agg(F.sum("df")).collect()[0][0]
+        _manifest_write(
+            paths,
+            "postings",
+            {
+                "bucket": b,
+                "n_terms": n_terms,
+                "n_postings": int(n_postings or 0),
+                "wall_sec": time.time() - t0,
+            },
+            bucket=b,
+        )
+
+    if build_blocks:
+        from .compression import build_block_index
+
+        for b in range(buckets):
+            if resume and _manifest_done(paths, "blocks", b):
+                continue
+            t0 = time.time()
+            build_block_index(spark, paths, bucket=b, doc_cols=doc_cols)
+            _manifest_write(
+                paths, "blocks", {"bucket": b, "wall_sec": time.time() - t0}, bucket=b
+            )
+
+    return paths
+
+
+def read_meta(paths: IndexPaths) -> dict:
+    with open(paths.meta_json) as f:
+        return json.load(f)

