@@ -1,0 +1,109 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract): headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]``; prints ONE JSON line.
+
+Headline metrics mirror BASELINE.md §B:
+- ``index_build``: full resumable index build (tokenize → salted postings →
+  compressed blocks) over a deterministically generated transcripts corpus;
+  reported with turns/sec in ``extra``.
+- ``query_p95``: p95 latency over the 38-query fixture set against the
+  built index (3 passes, preloaded engine — the reference's single-node
+  ranker shape).
+- plus representative operator queries over the driver's sf tables.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+BENCH_CONVS = int(os.environ.get("BENCH_CONVS", "20000"))
+QUERY_PASSES = 3
+
+
+def main() -> None:
+    os.environ["SPARK_GRAFT_CPUS"] = CPUS
+    from holi_search_engine_spark.corpus import (
+        generate_transcripts_df,
+        make_query_fixtures,
+        make_vocabulary,
+    )
+    from holi_search_engine_spark.operators import dedup, events, fulltext
+    from holi_search_engine_spark.plans.index_build import build_index, read_meta
+    from holi_search_engine_spark.query.ranker import RankerEngine
+    from holi_search_engine_spark.session import get_spark
+
+    spark = get_spark("holi-bench")
+    vocab = make_vocabulary()
+    dictionary = frozenset(vocab)
+    timings: dict[str, float] = {}
+    extra: dict[str, float] = {}
+
+    # ---- index build over the transcripts corpus (the north metric)
+    corpus = generate_transcripts_df(spark, BENCH_CONVS).cache()
+    n_turns = corpus.count()  # materialize cache so build timing excludes gen
+    idx_dir = "/tmp/holi_bench_index"
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    t0 = time.time()
+    paths = build_index(
+        spark, corpus, idx_dir, dictionary, buckets=8, build_blocks=True
+    )
+    timings["index_build"] = time.time() - t0
+    extra["n_turns"] = float(n_turns)
+    extra["turns_per_sec"] = n_turns / timings["index_build"]
+    corpus.unpersist()
+
+    # ---- query latency over the built index
+    engine = RankerEngine(spark, paths, preload=True)
+    queries = make_query_fixtures(vocab)
+    lat: list[float] = []
+    t0 = time.time()
+    for _ in range(QUERY_PASSES):
+        for _, qtext in queries:
+            tq = time.time()
+            engine.search(qtext)
+            lat.append(time.time() - tq)
+    timings["query_all_passes"] = time.time() - t0
+    lat.sort()
+    extra["query_p95_ms"] = 1000 * lat[int(0.95 * len(lat)) - 1]
+    extra["query_mean_ms"] = 1000 * sum(lat) / len(lat)
+
+    # ---- representative operator queries over the driver's sf tables
+    def run(name: str, fn) -> None:
+        t = time.time()
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[name] = time.time() - t
+
+    run("search_topk", fulltext.QUERIES["search_topk"])
+    run("index_postings", fulltext.QUERIES["index_postings"])
+    run("dedup_lsh_pairs", dedup.QUERIES["dedup_lsh_pairs"])
+    run("dedup_simhash", dedup.QUERIES["dedup_simhash"])
+    run("events_sessionize", events.QUERIES["events_sessionize"])
+
+    total = sum(timings.values())
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "index_build+query_p95+operator_suite",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": {k: round(v, 3) for k, v in timings.items()},
+                "sf": float(sf),
+                "extra": {k: round(v, 3) for k, v in extra.items()},
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,248 @@
+"""Deduplication operators for a training-data pipeline over ``documents``:
+exact (hash-groupBy), MinHash+LSH banding, n-gram Jaccard verification of
+candidates, and SimHash fingerprints.
+
+All hashes are the portable md5-derived 32-bit hash (``common.py``) so the
+Spark plans and the DuckDB oracle SQL agree bit-for-bit.  At 100 TB the
+same plans hold: shingling/explode is a map-only stage, the MinHash
+signature is one groupBy(doc), band bucketing is one groupBy(band, sig),
+and only docs sharing a bucket are pair-joined — the quadratic step never
+touches the full corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .common import load, portable_hash32, portable_hash32_sql
+
+QUERIES: dict = {}
+ORACLE: dict[str, str] = {}
+
+N_HASHES = 8  # minhash signature length
+BANDS = 4  # → rows per band = 2
+ROWS_PER_BAND = N_HASHES // BANDS
+SHINGLE = 3  # word n-gram size
+
+
+def q(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+
+    return deco
+
+
+@q(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS text_hash, count(*) AS n_docs, min(doc_id) AS keeper
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on content, keep the smallest doc_id —
+    the distributed analog of the reference crawler's content-seen table
+    (``jobs/Crawler.java:352-364``)."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.groupBy(F.md5("text").alias("text_hash")).agg(
+        F.count("*").alias("n_docs"), F.min("doc_id").alias("keeper")
+    )
+
+
+def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct word-3-gram shingles per doc (map-only stage)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n = F.size(toks)
+    idx = F.when(n >= SHINGLE, F.sequence(F.lit(0), n - SHINGLE)).otherwise(
+        F.array().cast("array<int>")
+    )
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, SHINGLE)))
+    return docs.select("doc_id", F.explode(sh).alias("shingle")).distinct()
+
+
+# DuckDB: list slicing toks[i : i+2] is 1-based inclusive → 3 elements.
+_SHINGLES_SQL = f"""
+    shingles AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(toks[i : i + {SHINGLE - 1}], ' ') AS shingle
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+            FROM documents),
+           unnest(range(1, greatest(len(toks) - {SHINGLE - 1}, 0) + 1)) AS r(i)
+    )"""
+
+_MINHASH_SQL = f"""
+    mh AS (
+      SELECT doc_id, h.j,
+             min({portable_hash32_sql("j::VARCHAR || ':' || shingle")}) AS minhash
+      FROM shingles, unnest(range(0, {N_HASHES})) AS h(j)
+      GROUP BY doc_id, h.j
+    )"""
+
+
+def _minhash(spark: SparkSession, sh: DataFrame) -> DataFrame:
+    seeds = spark.range(N_HASHES).select(F.col("id").cast("int").alias("j"))
+    hashed = sh.crossJoin(F.broadcast(seeds)).select(
+        "doc_id",
+        "j",
+        portable_hash32(
+            F.concat(F.col("j").cast("string"), F.lit(":"), F.col("shingle"))
+        ).alias("h"),
+    )
+    return hashed.groupBy("doc_id", "j").agg(F.min("h").alias("minhash"))
+
+
+def _sig_concat(order_col: str, value_col: str):
+    return F.concat_ws(
+        ",",
+        F.transform(
+            F.sort_array(F.collect_list(F.struct(order_col, value_col))),
+            lambda s: s[value_col].cast("string"),
+        ),
+    )
+
+
+@q(
+    "dedup_minhash_signatures",
+    f"""
+    WITH {_SHINGLES_SQL}, {_MINHASH_SQL}
+    SELECT doc_id,
+           string_agg(minhash::VARCHAR, ',' ORDER BY j) AS signature
+    FROM mh GROUP BY doc_id
+    """,
+)
+def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signature (k=8) per doc: shingle → k seeded hashes → min per
+    seed.  Seeds are prefixed into the hashed string so both engines
+    compute identical signatures without engine-native hash functions."""
+    mh = _minhash(spark, _shingles(spark, sf_dir))
+    return mh.groupBy("doc_id").agg(_sig_concat("j", "minhash").alias("signature"))
+
+
+@q(
+    "dedup_lsh_pairs",
+    f"""
+    WITH {_SHINGLES_SQL}, {_MINHASH_SQL},
+    bands AS (
+      SELECT doc_id, j // {ROWS_PER_BAND} AS band,
+             string_agg(minhash::VARCHAR, ',' ORDER BY j) AS band_sig
+      FROM mh GROUP BY doc_id, j // {ROWS_PER_BAND}
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+    ),
+    inter AS (
+      SELECT p.doc_a, p.doc_b, count(*) AS inter_size
+      FROM pairs p JOIN shingles sa ON sa.doc_id = p.doc_a
+      WHERE EXISTS (SELECT 1 FROM shingles sb
+                    WHERE sb.doc_id = p.doc_b AND sb.shingle = sa.shingle)
+      GROUP BY p.doc_a, p.doc_b
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id)
+    SELECT p.doc_a, p.doc_b,
+           round(coalesce(i.inter_size, 0)::DOUBLE
+                 / (sa.sz + sb.sz - coalesce(i.inter_size, 0)), 6) AS jaccard
+    FROM pairs p
+    LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+    JOIN sizes sa ON sa.doc_id = p.doc_a
+    JOIN sizes sb ON sb.doc_id = p.doc_b
+    """,
+)
+def dedup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding (8 hashes → 4 bands of 2) → candidate pairs sharing any
+    band → exact shingle-Jaccard verification of candidates only."""
+    sh = _shingles(spark, sf_dir)
+    mh = _minhash(spark, sh)
+    bands = mh.groupBy(
+        "doc_id", F.floor(F.col("j") / ROWS_PER_BAND).alias("band")
+    ).agg(_sig_concat("j", "minhash").alias("band_sig"))
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sh_a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sh_b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        pairs.join(sh_a, "doc_a")
+        .join(sh_b, ["doc_b", "shingle"], "left_semi")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter_size"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    return (
+        pairs.join(inter, ["doc_a", "doc_b"], "left")
+        .na.fill({"inter_size": 0})
+        .join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("size_a")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("size_b")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("inter_size").cast("double")
+                / (F.col("size_a") + F.col("size_b") - F.col("inter_size")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+@q(
+    "dedup_simhash",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, t.token, count(*) AS w
+      FROM documents, unnest(string_split_regex(trim(text), '\\s+')) AS t(token)
+      WHERE t.token <> ''
+      GROUP BY doc_id, t.token
+    ),
+    bits AS (
+      SELECT doc_id, b.bit,
+             sum(CASE WHEN (({portable_hash32_sql("token")} >> b.bit) & 1) = 1
+                      THEN w ELSE -w END) AS acc
+      FROM tok, unnest(range(0, 32)) AS b(bit)
+      GROUP BY doc_id, b.bit
+    )
+    SELECT doc_id,
+           sum(CASE WHEN acc > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS simhash
+    FROM bits GROUP BY doc_id
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per doc from token-frequency-weighted hash bits; at
+    scale near-dup pair generation groups by simhash band, as with LSH."""
+    docs = load(spark, sf_dir, "documents")
+    tok = (
+        docs.select("doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token"))
+        .where("token <> ''")
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("w"))
+        .withColumn("h", portable_hash32(F.col("token")))
+    )
+    bits = spark.range(32).select(F.col("id").cast("int").alias("bit"))
+    acc = (
+        tok.crossJoin(F.broadcast(bits))
+        .withColumn("bit_set", F.expr("(shiftright(h, bit) & 1) = 1"))
+        .groupBy("doc_id", "bit")
+        .agg(
+            F.sum(F.when(F.col("bit_set"), F.col("w")).otherwise(-F.col("w"))).alias("acc")
+        )
+    )
+    return acc.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("acc") > 0, F.expr("shiftleft(cast(1 as bigint), bit)")).otherwise(
+                F.lit(0)
+            )
+        ).alias("simhash")
+    )

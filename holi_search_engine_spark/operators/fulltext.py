@@ -1,0 +1,257 @@
+"""Index-pipeline operators over the driver's ``documents`` table, each
+paired with a DuckDB oracle SQL — the SQL-expressible surface subset of the
+engine (no dictionary filter / stemming, which DuckDB cannot express; those
+paths are pytest-gated against the pandas oracle instead, see tests/).
+
+Semantics per the reference: tf per (doc, term) (``Indexer.java:85-107``),
+ntf = (Σtf²)^¼ (quirk Q1, ``Indexer.java:131-139``), df = postings+1
+(quirk Q3, ``Idf.java:46``), posting strings "doc:tf,..." doc-ordered
+(``Indexer.java:142-176`` with Q2 normalized), and the Ranker scoring
+steps incl. the first-hit tf drop (quirk Q5, ``Ranker.java:98-106``).
+
+All float outputs are rounded to 6 decimals on BOTH sides — cross-engine
+float summation order is not bit-stable, rounding is the documented
+tolerance for the hash compare.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions.javacompat import java_hashset_order
+from .common import SURFACE_TOKENS_SQL, clean_expr, load, surface_tokens
+
+QUERIES: dict = {}
+ORACLE: dict[str, str] = {}
+
+
+def q(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+
+    return deco
+
+
+def term_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return (
+        surface_tokens(docs)
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+_TF_SQL = f"WITH tok AS ({SURFACE_TOKENS_SQL}), tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term)"
+
+
+@q("index_term_tf", _TF_SQL + " SELECT doc_id, term, tf FROM tf")
+def index_term_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize → (doc, term, tf): the mapInPandas hot path's surface
+    contract, checked here via pure-Catalyst expressions."""
+    return term_tf(spark, sf_dir)
+
+
+@q(
+    "index_postings",
+    _TF_SQL
+    + """
+    SELECT term, count(*) AS df,
+           string_agg(doc_id::VARCHAR || ':' || tf::VARCHAR, ',' ORDER BY doc_id) AS postings
+    FROM tf GROUP BY term
+    """,
+)
+def index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Posting lists in the reference's "doc:tf,..." string shape
+    (``Indexer.java:142-176``), doc-ordered (Q2 normalized)."""
+    tf = term_tf(spark, sf_dir)
+    entry = F.struct("doc_id", "tf")
+    return tf.groupBy("term").agg(
+        F.count("*").alias("df"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.sort_array(F.collect_list(entry)),
+                lambda s: F.concat_ws(":", s.doc_id.cast("string"), s.tf.cast("string")),
+            ),
+        ).alias("postings"),
+    )
+
+
+@q(
+    "index_ntf",
+    _TF_SQL
+    + " SELECT doc_id, round(sqrt(sqrt(sum(tf * tf))), 6) AS ntf FROM tf GROUP BY doc_id",
+)
+def index_ntf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quirk Q1: double sqrt of the tf² sum."""
+    tf = term_tf(spark, sf_dir)
+    return tf.groupBy("doc_id").agg(
+        F.round(F.pow(F.sum(F.col("tf") * F.col("tf")), F.lit(0.25)), 6).alias("ntf")
+    )
+
+
+@q(
+    "index_idf",
+    _TF_SQL
+    + """
+    SELECT term, count(*) + 1 AS df,
+           round(ln((SELECT count(*) FROM documents)::DOUBLE / (count(*) + 1)), 6) AS idf
+    FROM tf GROUP BY term
+    """,
+)
+def index_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quirk Q3: df = postings + 1; idf = ln(N/df) with N = corpus size."""
+    tf = term_tf(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents")
+    n = docs.count()
+    return (
+        tf.groupBy("term")
+        .agg((F.count("*") + 1).alias("df"))
+        .withColumn("idf", F.round(F.log(F.lit(float(n)) / F.col("df")), 6))
+    )
+
+
+# ---------------------------------------------------------------- search
+
+SEARCH_QUERY_TEXT = "spark join stream"
+
+
+def _query_plan(query_text: str) -> list[tuple[str, int, int]]:
+    """(term, lookup_order, qtf) replicating the Ranker's term ordering:
+    HashSet iteration order (see functions/javacompat.py)."""
+    words = query_text.strip().lower().split()
+    words_set_order = java_hashset_order(words, initial_from_collection=True)
+    lookup = java_hashset_order(words_set_order)  # words_sw: none are stopwords here
+    counts: dict[str, int] = {}
+    for w in words:
+        counts[w] = counts.get(w, 0) + 1
+    return [(t, i, counts[t]) for i, t in enumerate(lookup)]
+
+
+def _search_sql(query_text: str) -> str:
+    plan = _query_plan(query_text)
+    values = ", ".join(f"('{t}', {o}, {qtf})" for t, o, qtf in plan)
+    nq = len(plan)
+    return (
+        _TF_SQL
+        + f""",
+    ntf AS (SELECT doc_id, sqrt(sqrt(sum(tf * tf))) AS ntf FROM tf GROUP BY doc_id),
+    idf AS (SELECT term, ln((SELECT count(*) FROM documents)::DOUBLE / (count(*) + 1)) AS idf
+            FROM tf GROUP BY term),
+    q(term, ord, qtf) AS (VALUES {values}),
+    hits AS (SELECT tf.doc_id, q.term, q.ord, q.qtf, tf.tf
+             FROM tf JOIN q ON tf.term = q.term),
+    cand AS (SELECT doc_id, count(*) AS occurrence, min(ord) AS first_ord
+             FROM hits GROUP BY doc_id),
+    cut AS (SELECT doc_id, occurrence, first_ord FROM
+              (SELECT *, row_number() OVER (ORDER BY occurrence DESC, doc_id) AS rn
+               FROM cand) WHERE rn <= 250),
+    w AS (SELECT c.doc_id, c.occurrence,
+                 sum(CASE WHEN h.ord = c.first_ord THEN 0
+                          ELSE h.qtf * power(i.idf, 1.5) * h.tf / n.ntf END) AS weight
+          FROM cut c
+          JOIN hits h ON h.doc_id = c.doc_id
+          JOIN idf i ON h.term = i.term
+          JOIN ntf n ON n.doc_id = c.doc_id
+          GROUP BY c.doc_id, c.occurrence),
+    meta AS (SELECT doc_id, substr(text, 1, 60) AS title FROM documents),
+    ov AS (SELECT m.doc_id,
+                  (SELECT count(*) FROM q
+                   WHERE ' ' || lower(m.title) || ' ' LIKE '% ' || q.term || ' %')::DOUBLE
+                  / {nq} AS overlap,
+                  CASE WHEN position('{query_text}' IN m.title) > 0 THEN 1 ELSE 0 END AS exact
+           FROM meta m)
+    SELECT w.doc_id, w.occurrence,
+           round(3 * w.weight
+                 + CASE WHEN o.exact = 1 THEN 10.0
+                        WHEN o.overlap >= 0.6 THEN o.overlap * 10 ELSE 0 END,
+                 6) AS score
+    FROM w JOIN ov o ON o.doc_id = w.doc_id
+    """
+    )
+
+
+def search_topk(spark: SparkSession, sf_dir: str, query_text: str = SEARCH_QUERY_TEXT) -> DataFrame:
+    """Full Ranker scoring (steps 4-10 of SURVEY.md §2.4) as one Catalyst
+    plan: candidate gen via posting join, occurrence pre-rank cut at 250,
+    Q5 first-hit tf drop, tf-idf weight with idf^1.5 and the Q1 ntf
+    denominator, title bonus, 3·w + kw_match final score.
+
+    Title-overlap here uses the reference's token-set membership rule; the
+    title is the doc's first 60 chars (documents have no punctuation, so
+    the CrawlProcess strip chain is an identity — kept identical in SQL)."""
+    plan = _query_plan(query_text)
+    # term_tf feeds idf, ntf, and candidate gen — cache it so the plan reads
+    # the tokenized corpus once (in production these are the prebuilt
+    # wmetric/ntf/blocks tables; this query is the self-contained form)
+    tf = term_tf(spark, sf_dir).cache()
+    docs = load(spark, sf_dir, "documents")
+    n = docs.count()
+    qdf = spark.createDataFrame(plan, "term string, ord int, qtf int")
+    idf = (
+        tf.groupBy("term")
+        .agg((F.count("*") + 1).alias("df"))
+        .withColumn("idf", F.log(F.lit(float(n)) / F.col("df")))
+    )
+    ntf = tf.groupBy("doc_id").agg(
+        F.pow(F.sum(F.col("tf") * F.col("tf")), F.lit(0.25)).alias("ntf")
+    )
+    hits = tf.join(F.broadcast(qdf), "term")
+    cand = hits.groupBy("doc_id").agg(
+        F.count("*").alias("occurrence"), F.min("ord").alias("first_ord")
+    )
+    cut = (
+        cand.orderBy(F.col("occurrence").desc(), "doc_id")
+        .limit(250)
+    )
+    w = (
+        cut.join(hits, "doc_id")
+        .join(F.broadcast(idf.select("term", "idf")), "term")
+        .join(ntf, "doc_id")
+        .groupBy("doc_id", "occurrence")
+        .agg(
+            F.sum(
+                F.when(F.col("ord") == F.col("first_ord"), F.lit(0.0)).otherwise(
+                    F.col("qtf") * F.pow("idf", 1.5) * F.col("tf") / F.col("ntf")
+                )
+            ).alias("weight")
+        )
+    )
+    meta = docs.select("doc_id", F.substring("text", 1, 60).alias("title"))
+    padded = F.concat(F.lit(" "), F.lower("title"), F.lit(" "))
+    n_hits = None
+    ov_expr = None
+    for t, _, _ in plan:
+        term_hit = padded.contains(f" {t} ").cast("int")
+        ov_expr = term_hit if ov_expr is None else ov_expr + term_hit
+    ov = meta.select(
+        "doc_id",
+        (ov_expr.cast("double") / F.lit(len(plan))).alias("overlap"),
+        F.col("title").contains(query_text).cast("int").alias("exact"),
+    )
+    kw = (
+        F.when(F.col("exact") == 1, F.lit(10.0))
+        .when(F.col("overlap") >= 0.6, F.col("overlap") * 10)
+        .otherwise(F.lit(0.0))
+    )
+    return (
+        w.join(ov, "doc_id")
+        .select(
+            "doc_id",
+            "occurrence",
+            F.round(3 * F.col("weight") + kw, 6).alias("score"),
+        )
+    )
+
+
+QUERIES["search_topk"] = lambda spark, sf_dir: search_topk(spark, sf_dir)
+ORACLE["search_topk"] = _search_sql(SEARCH_QUERY_TEXT)
+
+SEARCH_QUERY_TEXT_2 = "data data table"  # repeated term → qtf = 2
+QUERIES["search_topk_qtf"] = lambda spark, sf_dir: search_topk(
+    spark, sf_dir, SEARCH_QUERY_TEXT_2
+)
+ORACLE["search_topk_qtf"] = _search_sql(SEARCH_QUERY_TEXT_2)

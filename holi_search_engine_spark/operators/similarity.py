@@ -1,0 +1,199 @@
+"""Similarity search over the ``embeddings`` table (``vec_id,
+embedding: array<float>, label``): brute-force cosine top-k as the exact
+baseline, and a sign-bit LSH bucketing as the sublinear scale path.
+
+Scale shape: brute-force is one map-only pass (vector math in Catalyst
+higher-order functions, no shuffle) + a global top-k (tree-aggregated
+TakeOrdered, not a full sort).  The LSH variant buckets vectors once
+(map-only) and restricts candidate scoring to the probe's bucket."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .common import load, portable_hash32
+
+QUERIES: dict = {}
+ORACLE: dict[str, str] = {}
+
+QUERY_VEC_ID = 0
+TOP_K = 10
+LSH_PLANES = 8
+
+
+def q(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+
+    return deco
+
+
+def _cosine(a, b):
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    na = F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    )
+    nb = F.sqrt(
+        F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    )
+    return dot / (na * nb)
+
+
+@q(
+    "ann_cosine_topk",
+    f"""
+    WITH qv AS (SELECT embedding FROM embeddings WHERE vec_id = {QUERY_VEC_ID})
+    SELECT e.vec_id,
+           round(list_cosine_similarity(e.embedding::DOUBLE[], qv.embedding::DOUBLE[]), 6)
+             AS cosine
+    FROM embeddings e, qv
+    ORDER BY cosine DESC, e.vec_id
+    LIMIT {TOP_K}
+    """,
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k vs a fixed probe vector — JVM-side
+    ``zip_with``/``aggregate`` vector math, no UDF."""
+    emb = load(spark, sf_dir, "embeddings")
+    probe = emb.where(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("probe")
+    )
+    return (
+        emb.crossJoin(F.broadcast(probe))
+        .select(
+            "vec_id",
+            F.round(_cosine(F.col("embedding"), F.col("probe")), 6).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(TOP_K)
+    )
+
+
+@q("ann_lsh_topk")  # rows-only check: float sign bits are not portable to SQL
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-bit LSH: 8 pseudo-random ±1 hyperplanes (deterministic from the
+    portable hash of (plane, dim)); vectors sharing the probe's bucket are
+    scored exactly.  Recall < 1 by construction — the scale path answer.
+    Falls back to brute force within the bucket."""
+    emb = load(spark, sf_dir, "embeddings")
+    dims = emb.select(F.size("embedding").alias("d")).first()["d"]
+    # ±1 plane weights, deterministic: parity of portable_hash32(f"{j}:{d}")
+    planes = (
+        spark.range(LSH_PLANES)
+        .select(F.col("id").cast("int").alias("j"))
+        .crossJoin(spark.range(dims).select(F.col("id").cast("int").alias("d")))
+        .select(
+            "j",
+            "d",
+            F.when(
+                portable_hash32(
+                    F.concat(F.col("j").cast("string"), F.lit(":"), F.col("d").cast("string"))
+                ).bitwiseAND(F.lit(1))
+                == 1,
+                F.lit(1.0),
+            )
+            .otherwise(F.lit(-1.0))
+            .alias("w"),
+        )
+        .groupBy("j")
+        .agg(F.sort_array(F.collect_list(F.struct("d", "w"))).alias("ws"))
+        .select("j", F.transform("ws", lambda s: s.w).alias("w"))
+    )
+
+    def bucket_expr(vec_col):
+        # bit_j = 1 if <vec, plane_j> > 0
+        return F.aggregate(
+            F.col("bits"),
+            F.lit(0).cast("long"),
+            lambda acc, b: acc * 2 + b,
+        )
+
+    with_bits = (
+        emb.crossJoin(F.broadcast(planes))
+        .select(
+            "vec_id",
+            "embedding",
+            "j",
+            F.when(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("embedding"), F.col("w"), lambda x, y: x.cast("double") * y
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                > 0,
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .alias("bit"),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.aggregate(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("j", "bit"))), lambda s: s.bit
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, b: acc * 2 + b,
+            ).alias("bucket"),
+            F.first("embedding").alias("embedding"),
+        )
+    )
+    probe = with_bits.where(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("bucket").alias("probe_bucket"), F.col("embedding").alias("probe")
+    )
+    return (
+        with_bits.join(
+            F.broadcast(probe), F.col("bucket") == F.col("probe_bucket")
+        )
+        .select(
+            "vec_id",
+            "bucket",
+            F.round(_cosine(F.col("embedding"), F.col("probe")), 6).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(TOP_K)
+    )
+
+
+PAIR_LIMIT = 300  # pairwise over a bounded slice — at scale this runs per LSH bucket
+PAIR_THRESHOLD = 0.35
+
+
+@q(
+    "ann_pairwise_label",
+    f"""
+    SELECT e1.label AS label_a, e2.label AS label_b, count(*) AS n
+    FROM embeddings e1 JOIN embeddings e2
+      ON e1.vec_id < e2.vec_id
+    WHERE e1.vec_id < {PAIR_LIMIT} AND e2.vec_id < {PAIR_LIMIT}
+      AND list_cosine_similarity(e1.embedding::DOUBLE[], e2.embedding::DOUBLE[])
+          > {PAIR_THRESHOLD}
+    GROUP BY e1.label, e2.label
+    """,
+)
+def ann_pairwise_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs aggregated by label pair.  Quadratic
+    by nature, so bounded to a slice here; at scale the pair join runs per
+    LSH bucket (see ann_lsh_topk), never globally."""
+    emb = load(spark, sf_dir, "embeddings").where(F.col("vec_id") < PAIR_LIMIT)
+    e1 = emb.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a"), F.col("label").alias("label_a")
+    )
+    e2 = emb.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b"), F.col("label").alias("label_b")
+    )
+    return (
+        e1.join(e2, F.col("id_a") < F.col("id_b"))
+        .where(_cosine(F.col("emb_a"), F.col("emb_b")) > PAIR_THRESHOLD)
+        .groupBy("label_a", "label_b")
+        .agg(F.count("*").alias("n"))
+    )

@@ -1,0 +1,158 @@
+"""Text-analysis operators for a training-data pipeline over ``documents``:
+language-ID heuristic, quality scoring, token counting (whitespace +
+BPE-ish regex), and document fingerprinting.  Everything is pure Catalyst
+expressions (whole-stage codegen; zero Python in the data path)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .common import load
+
+QUERIES: dict = {}
+ORACLE: dict[str, str] = {}
+
+# small fixed stopword probe set (subset of the reference ranker list,
+# Ranker.java:127-144) — inlined in the SQL oracle as VALUES
+STOP_PROBE = ["a", "the", "and", "of", "to", "in", "is", "it", "on", "for"]
+_STOP_SQL = ", ".join(f"('{w}')" for w in STOP_PROBE)
+
+_PUNCT_CLASS = "[^.,:;!?]"
+_BPE_PATTERN = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"
+
+
+def q(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+
+    return deco
+
+
+_STATS_SQL = f"""
+    tok AS (
+      SELECT doc_id, t.token
+      FROM documents, unnest(string_split_regex(trim(text), '\\s+')) AS t(token)
+      WHERE t.token <> ''
+    ),
+    stop(word) AS (VALUES {_STOP_SQL}),
+    stats AS (
+      SELECT d.doc_id,
+             length(d.text) AS n_chars,
+             (SELECT count(*) FROM tok WHERE tok.doc_id = d.doc_id) AS n_tokens,
+             (SELECT count(*) FROM tok JOIN stop ON lower(tok.token) = stop.word
+              WHERE tok.doc_id = d.doc_id) AS n_stop,
+             length(regexp_replace(d.text, '{_PUNCT_CLASS}', '', 'g')) AS n_punct
+      FROM documents d
+    )"""
+
+
+@q(
+    "text_quality",
+    f"""
+    WITH {_STATS_SQL}
+    SELECT doc_id, n_chars, n_tokens,
+           round(n_stop::DOUBLE / greatest(n_tokens, 1), 6) AS stop_ratio,
+           round(n_punct::DOUBLE / greatest(n_chars, 1), 6) AS punct_ratio,
+           round(0.4 * least(n_tokens / 100.0, 1.0)
+                 + 0.3 * (1 - n_punct::DOUBLE / greatest(n_chars, 1))
+                 + 0.3 * least(4 * n_stop::DOUBLE / greatest(n_tokens, 1), 1.0),
+                 6) AS quality
+    FROM stats
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring from length / punctuation / stopword ratios — the
+    standard cheap pre-filter for web-scale training corpora."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != "")
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: F.lower(t).isin(STOP_PROBE)))
+    n_chars = F.length("text")
+    n_punct = F.length(F.regexp_replace("text", _PUNCT_CLASS, ""))
+    stop_ratio = n_stop.cast("double") / F.greatest(n_tokens, F.lit(1))
+    punct_ratio = n_punct.cast("double") / F.greatest(n_chars, F.lit(1))
+    quality = (
+        0.4 * F.least(n_tokens / F.lit(100.0), F.lit(1.0))
+        + 0.3 * (1 - punct_ratio)
+        + 0.3 * F.least(4 * stop_ratio, F.lit(1.0))
+    )
+    return docs.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_tokens.cast("long").alias("n_tokens"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(quality, 6).alias("quality"),
+    )
+
+
+@q(
+    "text_langid",
+    f"""
+    WITH {_STATS_SQL}
+    SELECT doc_id,
+           CASE WHEN n_stop::DOUBLE / greatest(n_tokens, 1) >= 0.05
+                THEN 'en' ELSE 'unknown' END AS lang_guess
+    FROM stats
+    """,
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram-free language-ID heuristic: English stopword density.  (A
+    real system swaps in a char-n-gram model; the Spark plumbing — per-doc
+    vectorized classification — is identical.)"""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != "")
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: F.lower(t).isin(STOP_PROBE)))
+    ratio = n_stop.cast("double") / F.greatest(n_tokens, F.lit(1))
+    return docs.select(
+        "doc_id",
+        F.when(ratio >= 0.05, "en").otherwise("unknown").alias("lang_guess"),
+    )
+
+
+@q(
+    "text_token_counts",
+    f"""
+    SELECT doc_id,
+           len(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> ''))
+             AS ws_tokens,
+           len(regexp_extract_all(text, '{_BPE_PATTERN}')) AS bpe_tokens
+    FROM documents
+    """,
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace split and a BPE-ish regex
+    (letter runs, single digits, single punctuation) — the unit used for
+    corpus token budgeting."""
+    docs = load(spark, sf_dir, "documents")
+    ws = F.size(F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != ""))
+    bpe = F.size(F.regexp_extract_all("text", F.lit(_BPE_PATTERN), 0))
+    return docs.select(
+        "doc_id",
+        ws.cast("long").alias("ws_tokens"),
+        bpe.cast("long").alias("bpe_tokens"),
+    )
+
+
+@q(
+    "text_fingerprint",
+    """
+    SELECT doc_id,
+           md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fingerprint
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized content fingerprint (lowercase, collapsed whitespace →
+    md5): the doc-identity key for exact dedup across formatting noise."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.md5(F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")).alias(
+            "fingerprint"
+        ),
+    )

@@ -196,27 +196,44 @@ def _blocks_from_sorted(pdf_iter):
 def build_block_index(
     spark: SparkSession,
     paths,
-    bucket: int,
+    bucket: int | list[int] | None,
     doc_cols: list[str],
+    buckets: int | None = None,
     partitions: int | None = None,
 ) -> None:
-    """Build the compressed block index for one term-hash bucket.
+    """Build the compressed block index (``bucket=None`` → all buckets in
+    one job, a list/int → only those, pruned to their term_tf partitions).
 
     Plan shape: bucket-pruned parquet scan → shuffle-join ntf (doc-keyed)
     → repartition by term → sortWithinPartitions(term, doc_key) →
-    mapInPandas block encoder → parquet.  No stage materializes a whole
-    posting list in memory; the sort is Spark's spillable external sort.
+    mapInPandas block encoder → parquet partitioned by bucket.  No stage
+    materializes a whole posting list in memory; the sort is Spark's
+    spillable external sort.
     """
-    term_tf = spark.read.parquet(paths.term_tf).where(F.col("bucket") == bucket)
+    term_tf = spark.read.parquet(paths.term_tf)
+    if bucket is not None:
+        wanted = [bucket] if isinstance(bucket, int) else list(bucket)
+        term_tf = term_tf.where(F.col("bucket").isin(wanted))
     ntf = spark.read.parquet(paths.ntf)
     key = doc_key_expr(doc_cols)
-    joined = (
-        term_tf.join(ntf, on=doc_cols)
-        .select("term", key.alias("doc_key"), "tf", "ntf")
+    joined = term_tf.join(ntf, on=doc_cols).select(
+        "term", key.alias("doc_key"), "tf", "ntf"
     )
-    parts = partitions or max(2, spark.sparkContext.defaultParallelism // 2)
+    parts = partitions or max(2, spark.sparkContext.defaultParallelism)
     sorted_stream = joined.repartition(parts, "term").sortWithinPartitions(
         "term", "doc_key"
     )
     blocks = sorted_stream.mapInPandas(_blocks_from_sorted, schema=BLOCK_SCHEMA)
-    blocks.write.mode("overwrite").parquet(os.path.join(paths.blocks, f"bucket={bucket}"))
+    if buckets is None:
+        from .index_build import read_meta
+
+        buckets = read_meta(paths)["buckets"]
+    blocks = blocks.withColumn(
+        "bucket", F.pmod(F.xxhash64("term"), F.lit(buckets)).cast("int")
+    )
+    (
+        blocks.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket")
+        .parquet(paths.blocks)
+    )

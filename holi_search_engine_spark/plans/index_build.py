@@ -102,6 +102,7 @@ def build_postings(
     term_tf: DataFrame,
     doc_cols: list[str] | None = None,
     salt: int = DEFAULT_SALT,
+    carry_cols: list[str] | None = None,
 ) -> DataFrame:
     """term → doc-ordered ``array<struct<doc..., tf>>`` via salted two-phase
     aggregation (SURVEY.md §4 custom work #1).
@@ -109,16 +110,20 @@ def build_postings(
     Phase 1 groups on ``(term, salt(doc))`` so a Zipf-head term's postings
     are built as ``salt`` doc-ordered runs in parallel; phase 2 concatenates
     the runs and re-sorts (cheap: ≤ ``salt`` pre-sorted arrays per term).
+
+    ``carry_cols`` are term-functional columns (e.g. ``bucket``) passed
+    through both groupings without changing cardinality.
     """
     doc_cols = doc_cols or DOC_COLS
+    carry = carry_cols or []
     doc_struct = F.struct(*[F.col(c) for c in doc_cols], F.col("tf"))
     salted = term_tf.withColumn(
         "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in doc_cols]), F.lit(salt))
     )
-    phase1 = salted.groupBy("term", "_salt").agg(
+    phase1 = salted.groupBy("term", *carry, "_salt").agg(
         F.sort_array(F.collect_list(doc_struct)).alias("run")
     )
-    phase2 = phase1.groupBy("term").agg(
+    phase2 = phase1.groupBy("term", *carry).agg(
         F.array_sort(F.flatten(F.collect_list("run"))).alias("postings")
     )
     return phase2.withColumn("df", F.size("postings"))
@@ -245,13 +250,15 @@ def build_index(
         )
         term_tf_r = spark.read.parquet(paths.term_tf)
         build_ntf(term_tf_r, doc_cols).write.mode("overwrite").parquet(paths.ntf)
-        n_docs = transcripts.select(*doc_cols).distinct().count()
+        n_turns = transcripts.count()
+        # (conv_id, turn_idx) is the primary key: one doc per turn — no
+        # distinct() pass over the corpus needed
+        n_docs = n_turns
         n_idf = n_for_idf if n_for_idf is not None else n_docs
         build_wmetric(term_tf_r, n_idf).write.mode("overwrite").parquet(paths.wmetric)
         build_doc_meta(transcripts, doc_cols, text_col).write.mode("overwrite").parquet(
             paths.doc_meta
         )
-        n_turns = transcripts.count()
         wall = time.time() - t0
         with open(paths.meta_json, "w") as f:
             json.dump(
@@ -275,42 +282,73 @@ def build_index(
             },
         )
 
-    # ---- stage B: per-bucket posting lists (resumable, parallelizable)
-    for b in range(buckets):
-        if resume and _manifest_done(paths, "postings", b):
-            continue
+    # ---- stage B: posting lists, resumable at bucket granularity.
+    # Fresh build → ONE job across all buckets (write partitioned by
+    # bucket); partial resume → only the missing buckets, each pruned to
+    # its term_tf partition.  Either way the manifest records per-bucket
+    # lineage (term/posting counts + wall time).
+    remaining = [
+        b for b in range(buckets) if not (resume and _manifest_done(paths, "postings", b))
+    ]
+    if remaining:
         t0 = time.time()
-        bucket_tf = spark.read.parquet(paths.term_tf).where(F.col("bucket") == b)
-        postings = build_postings(bucket_tf.drop("bucket"), doc_cols, salt)
-        postings.write.mode("overwrite").parquet(
-            os.path.join(paths.postings, f"bucket={b}")
+        term_tf_r = spark.read.parquet(paths.term_tf)
+        if len(remaining) < buckets:
+            term_tf_r = term_tf_r.where(F.col("bucket").isin(remaining))
+        postings = build_postings(term_tf_r, doc_cols, salt, carry_cols=["bucket"])
+        # dynamic overwrite: a partial resume must not wipe completed buckets
+        (
+            postings.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bucket")
+            .parquet(paths.postings)
         )
-        out = spark.read.parquet(os.path.join(paths.postings, f"bucket={b}"))
-        n_terms = out.count()
-        n_postings = out.agg(F.sum("df")).collect()[0][0]
-        _manifest_write(
-            paths,
-            "postings",
-            {
-                "bucket": b,
-                "n_terms": n_terms,
-                "n_postings": int(n_postings or 0),
-                "wall_sec": time.time() - t0,
-            },
-            bucket=b,
+        wall = time.time() - t0
+        stats = (
+            spark.read.parquet(paths.postings)
+            .where(F.col("bucket").isin(remaining))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n_terms"), F.sum("df").alias("n_postings"))
+            .collect()
         )
+        by_bucket = {r["bucket"]: r for r in stats}
+        for b in remaining:
+            r = by_bucket.get(b)
+            _manifest_write(
+                paths,
+                "postings",
+                {
+                    "bucket": b,
+                    "n_terms": int(r["n_terms"]) if r else 0,
+                    "n_postings": int(r["n_postings"]) if r else 0,
+                    "wall_sec": wall / len(remaining),
+                },
+                bucket=b,
+            )
 
     if build_blocks:
         from .compression import build_block_index
 
-        for b in range(buckets):
-            if resume and _manifest_done(paths, "blocks", b):
-                continue
+        remaining = [
+            b for b in range(buckets) if not (resume and _manifest_done(paths, "blocks", b))
+        ]
+        if remaining:
             t0 = time.time()
-            build_block_index(spark, paths, bucket=b, doc_cols=doc_cols)
-            _manifest_write(
-                paths, "blocks", {"bucket": b, "wall_sec": time.time() - t0}, bucket=b
+            build_block_index(
+                spark,
+                paths,
+                bucket=None if len(remaining) == buckets else remaining,
+                doc_cols=doc_cols,
+                buckets=buckets,
             )
+            wall = time.time() - t0
+            for b in remaining:
+                _manifest_write(
+                    paths,
+                    "blocks",
+                    {"bucket": b, "wall_sec": wall / len(remaining)},
+                    bucket=b,
+                )
 
     return paths
 
