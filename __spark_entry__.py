@@ -19,9 +19,17 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
-from holi_search_engine_spark.operators import dedup, events, flame_ops, fulltext, similarity, textstats  # noqa: E402
+from holi_search_engine_spark.operators import (  # noqa: E402
+    dedup,
+    events,
+    flame_ops,
+    fulltext,
+    graph,
+    similarity,
+    textstats,
+)
 
-_MODULES = [flame_ops, fulltext, dedup, textstats, similarity, events]
+_MODULES = [flame_ops, fulltext, dedup, textstats, similarity, events, graph]
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -76,6 +76,22 @@ def main() -> None:
     extra["query_p95_ms"] = 1000 * lat[int(0.95 * len(lat)) - 1]
     extra["query_mean_ms"] = 1000 * sum(lat) / len(lat)
 
+    # BM25 block-max WAND latency over the same index/query set
+    from holi_search_engine_spark.query.bm25 import BM25Engine
+
+    bm25 = BM25Engine(spark, paths)
+    blat: list[float] = []
+    t0 = time.time()
+    for _ in range(QUERY_PASSES):
+        for _, qtext in queries:
+            tq = time.time()
+            bm25.search(qtext, k=10)
+            blat.append(time.time() - tq)
+    timings["bm25_all_passes"] = time.time() - t0
+    blat.sort()
+    extra["bm25_p95_ms"] = 1000 * blat[int(0.95 * len(blat)) - 1]
+    extra["bm25_mean_ms"] = 1000 * sum(blat) / len(blat)
+
     # ---- representative operator queries over the driver's sf tables
     def run(name: str, fn) -> None:
         t = time.time()

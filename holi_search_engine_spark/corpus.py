@@ -86,14 +86,20 @@ def generate_conversations_pdf(conv_indices: np.ndarray, vocab: list[str]) -> pd
     rows_text: list[str] = []
     rows_tool: list[str | None] = []
     rows_ts: list[int] = []
+    cdf = np.cumsum(probs)
     for i in conv_indices:
         i = int(i)
-        rng = np.random.RandomState((SEED * 1_000_003 + i) % (2**32))
+        rng = np.random.RandomState((SEED * 1_003 + i) % (2**32))
         n_turns = turns_for_conv(i)
         conv_id = f"conv-{i:08d}"
+        # one vectorized Zipf draw for the whole conversation (inverse-CDF
+        # over uniforms — ~10x faster than per-turn rng.choice(p=...))
+        n_toks = rng.randint(5, 121, size=n_turns)
+        total = int(n_toks.sum())
+        draws = np.searchsorted(cdf, rng.random_sample(total), side="right")
+        offsets = np.concatenate(([0], np.cumsum(n_toks)))
         for t in range(n_turns):
-            n_tok = int(rng.randint(5, 121))
-            toks = vocab_arr[rng.choice(len(vocab_arr), size=n_tok, p=probs)]
+            toks = vocab_arr[draws[offsets[t] : offsets[t + 1]]]
             # sprinkle special tokens (~8% of turns get 1-3 of them)
             if rng.rand() < 0.08:
                 extra = special_arr[rng.randint(0, len(special_arr), size=rng.randint(1, 4))]

@@ -113,8 +113,15 @@ def decode_block(doc_bytes: bytes, tf_bytes: bytes) -> tuple[np.ndarray, np.ndar
 
 BLOCK_SCHEMA = (
     "term string, block_no int, n int, key_min long, key_max long, "
-    "max_tf int, ub_tf_ntf double, doc_bytes binary, tf_bytes binary"
+    "max_tf int, ub_tf_ntf double, ub_bm25 double, doc_bytes binary, tf_bytes binary"
 )
+
+# BM25 knobs pinned at build time — the stored per-block upper bound
+# ``ub_bm25`` = max over the block of tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl))
+# is only valid for these values (different knobs ⇒ rebuild or exhaustive
+# scoring; the reference-mode scorer is unaffected).
+BM25_K1 = 1.2
+BM25_B = 0.75
 
 
 def _blocks_from_sorted(pdf_iter):
@@ -135,9 +142,10 @@ def _blocks_from_sorted(pdf_iter):
         term = group["term"].iloc[0]
         keys_all = group["doc_key"].to_numpy(dtype=np.int64)
         tfs_all = group["tf"].to_numpy(dtype=np.int64)
-        ratio_all = group["tf"].to_numpy(dtype=np.float64) / group["ntf"].to_numpy(
-            dtype=np.float64
-        )
+        tf_f = group["tf"].to_numpy(dtype=np.float64)
+        ratio_all = tf_f / group["ntf"].to_numpy(dtype=np.float64)
+        norm = group["bm25_norm"].to_numpy(dtype=np.float64)
+        bm25_all = tf_f * (BM25_K1 + 1.0) / (tf_f + BM25_K1 * norm)
         bno = (
             int(group["_bno"].iloc[0])
             if "_bno" in group and pd.notna(group["_bno"].iloc[0])
@@ -156,6 +164,7 @@ def _blocks_from_sorted(pdf_iter):
                     "key_max": int(keys[-1]),
                     "max_tf": int(tfs.max()),
                     "ub_tf_ntf": float(ratio_all[s:e].max()),
+                    "ub_bm25": float(bm25_all[s:e].max()),
                     "doc_bytes": db,
                     "tf_bytes": tb,
                 }
@@ -214,10 +223,18 @@ def build_block_index(
     if bucket is not None:
         wanted = [bucket] if isinstance(bucket, int) else list(bucket)
         term_tf = term_tf.where(F.col("bucket").isin(wanted))
-    ntf = spark.read.parquet(paths.ntf)
+    doc_stats = spark.read.parquet(paths.doc_stats)
+    from .index_build import read_meta as _read_meta
+
+    avgdl = _read_meta(paths).get("avgdl") or 1.0
     key = doc_key_expr(doc_cols)
-    joined = term_tf.join(ntf, on=doc_cols).select(
-        "term", key.alias("doc_key"), "tf", "ntf"
+    # bm25_norm = 1 − b + b·dl/avgdl, precomputed per doc (pinned knobs);
+    # ntf and dl ride in one doc-keyed join (doc_stats), not two
+    norm = (
+        F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("dl").cast("double") / F.lit(avgdl)
+    ).alias("bm25_norm")
+    joined = term_tf.join(doc_stats, on=doc_cols).select(
+        "term", key.alias("doc_key"), "tf", "ntf", norm
     )
     parts = partitions or max(2, spark.sparkContext.defaultParallelism)
     sorted_stream = joined.repartition(parts, "term").sortWithinPartitions(

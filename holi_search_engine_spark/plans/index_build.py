@@ -170,6 +170,14 @@ class IndexPaths:
         return os.path.join(self.root, "doc_meta")
 
     @property
+    def doc_len(self) -> str:
+        return os.path.join(self.root, "doc_len")
+
+    @property
+    def doc_stats(self) -> str:
+        return os.path.join(self.root, "doc_stats")
+
+    @property
     def postings(self) -> str:
         return os.path.join(self.root, "postings")
 
@@ -235,30 +243,56 @@ def build_index(
     paths = IndexPaths(out_dir)
     os.makedirs(out_dir, exist_ok=True)
 
-    # ---- stage A: tokenize once; bucket-partitioned term stream + stats
+    # ---- stage A: tokenize ONCE (persisted pre-shuffle), then:
+    # - doc-local stats (ntf, dl) aggregate BEFORE the bucket shuffle, so
+    #   map-side partial aggregation collapses each doc inside its single
+    #   input partition (~n_docs rows shuffled instead of ~n_postings);
+    # - the bucket-partitioned term stream is the only full-width shuffle;
+    # - wmetric (term df) is partial-agg-friendly from the same cache;
+    # - doc_meta is a map-only pass over the corpus.
     if not (resume and _manifest_done(paths, "stage_a")):
+        from pyspark import StorageLevel
+
         t0 = time.time()
-        term_tf = tokenize_terms(transcripts, dictionary, doc_cols, text_col)
-        term_tf = term_tf.withColumn(
-            "bucket", F.pmod(F.xxhash64("term"), F.lit(buckets)).cast("int")
+        term_raw = tokenize_terms(transcripts, dictionary, doc_cols, text_col)
+        # At sandbox scale the token stream fits in memory; on a cluster set
+        # spark.storage.level semantics accordingly (DISK_ONLY still beats
+        # re-tokenizing 3x — tokenize is the CPU-dominant stage).
+        term_raw = term_raw.persist(StorageLevel.MEMORY_AND_DISK)
+
+        doc_stats = (
+            term_raw.groupBy(*doc_cols)
+            .agg(
+                F.pow(F.sum(F.col("tf").cast("double") * F.col("tf")), F.lit(0.25)).alias("ntf"),
+                F.sum("tf").cast("long").alias("dl"),
+            )
         )
+        doc_stats.write.mode("overwrite").parquet(paths.doc_stats)
+        doc_stats_r = spark.read.parquet(paths.doc_stats)
+        doc_stats_r.select(*doc_cols, "ntf").write.mode("overwrite").parquet(paths.ntf)
+        doc_stats_r.select(*doc_cols, "dl").write.mode("overwrite").parquet(paths.doc_len)
+        avgdl = doc_stats_r.agg(F.avg("dl")).collect()[0][0] or 0.0
+
         (
-            term_tf.repartition(F.col("bucket"))
+            term_raw.withColumn(
+                "bucket", F.pmod(F.xxhash64("term"), F.lit(buckets)).cast("int")
+            )
+            .repartition(F.col("bucket"))
             .write.mode("overwrite")
             .partitionBy("bucket")
             .parquet(paths.term_tf)
         )
-        term_tf_r = spark.read.parquet(paths.term_tf)
-        build_ntf(term_tf_r, doc_cols).write.mode("overwrite").parquet(paths.ntf)
+
         n_turns = transcripts.count()
         # (conv_id, turn_idx) is the primary key: one doc per turn — no
         # distinct() pass over the corpus needed
         n_docs = n_turns
         n_idf = n_for_idf if n_for_idf is not None else n_docs
-        build_wmetric(term_tf_r, n_idf).write.mode("overwrite").parquet(paths.wmetric)
+        build_wmetric(term_raw, n_idf).write.mode("overwrite").parquet(paths.wmetric)
         build_doc_meta(transcripts, doc_cols, text_col).write.mode("overwrite").parquet(
             paths.doc_meta
         )
+        term_raw.unpersist()
         wall = time.time() - t0
         with open(paths.meta_json, "w") as f:
             json.dump(
@@ -268,6 +302,7 @@ def build_index(
                     "n_for_idf": n_idf,
                     "n_turns": n_turns,
                     "buckets": buckets,
+                    "avgdl": float(avgdl),
                 },
                 f,
             )

@@ -1,0 +1,256 @@
+"""BM25 top-k with block-max WAND over the compressed block index.
+
+This is the scale-mode query path the north rule asks for on top of the
+reference-semantics ranker: proper Robertson BM25 with k1/b knobs (pinned
+at index build — see ``plans/compression.py``) and document-at-a-time WAND
+with per-block upper bounds, so hot terms' posting lists are skipped in
+block units rather than decoded in full.
+
+Correctness: pivot selection uses each cursor's SUFFIX-max block bound
+(valid for every remaining doc); the current block's own bound is only
+used as the tighter block-max refinement at the pivot.  Pruning uses
+``< θ`` (not ``≤``) so exact score ties still resolve by the doc-asc
+tie-break, making the top-k exactly equal to brute force —
+``tests/test_bm25.py`` asserts doc-and-score equality.
+"""
+
+from __future__ import annotations
+
+import heapq
+import math
+import re
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import SparkSession
+
+from ..plans.compression import (
+    BM25_B,
+    BM25_K1,
+    decode_block,
+    doc_key_expr,
+    doc_key_to_cols,
+)
+from ..plans.index_build import IndexPaths, read_meta
+
+INF = np.iinfo(np.int64).max
+_RE_PUNCT = re.compile(r"[.,:;!?'\"\(\)-]")
+
+
+def bm25_idf(n_docs: int, df: int) -> float:
+    """Robertson-Sparck-Jones idf with the +1 floor (Lucene form)."""
+    return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+
+
+class _Cursor:
+    """Posting cursor over one term's block list; decodes lazily per block."""
+
+    __slots__ = (
+        "key_max_arr", "ub_arr", "suffix_ub", "doc_bytes", "tf_bytes",
+        "weight", "dl_norm", "n_blocks", "bi", "keys", "scores", "pos",
+    )
+
+    def __init__(self, blocks: pd.DataFrame, weight: float, dl_norm: pd.Series) -> None:
+        self.key_max_arr = blocks["key_max"].to_numpy(dtype=np.int64)
+        self.ub_arr = blocks["ub_bm25"].to_numpy(dtype=np.float64)
+        # suffix max: ub valid for ALL docs at or after block i
+        self.suffix_ub = np.maximum.accumulate(self.ub_arr[::-1])[::-1]
+        self.doc_bytes = blocks["doc_bytes"].tolist()
+        self.tf_bytes = blocks["tf_bytes"].tolist()
+        self.weight = weight
+        self.dl_norm = dl_norm
+        self.n_blocks = len(blocks)
+        self.keys: np.ndarray | None = None
+        self.scores: np.ndarray | None = None
+        self.pos = 0
+        self.bi = self.n_blocks
+        if self.n_blocks:
+            self._load_block(0)
+
+    def _load_block(self, bi: int) -> None:
+        self.bi = bi
+        keys, tfs = decode_block(self.doc_bytes[bi], self.tf_bytes[bi])
+        self.keys = keys.astype(np.int64)
+        tf = tfs.astype(np.float64)
+        norm = self.dl_norm.reindex(self.keys).to_numpy(dtype=np.float64)
+        self.scores = self.weight * tf * (BM25_K1 + 1.0) / (tf + BM25_K1 * norm)
+        self.pos = 0
+
+    def exhausted(self) -> bool:
+        return self.bi >= self.n_blocks
+
+    def cur_doc(self) -> int:
+        return INF if self.bi >= self.n_blocks else int(self.keys[self.pos])
+
+    def tail_ub(self) -> float:
+        """Bound on this term's score for any doc ≥ cur_doc()."""
+        if self.bi >= self.n_blocks:
+            return 0.0
+        return self.weight * float(self.suffix_ub[self.bi])
+
+    def block_ub(self) -> float:
+        """Bound for docs within the current block only."""
+        if self.bi >= self.n_blocks:
+            return 0.0
+        return self.weight * float(self.ub_arr[self.bi])
+
+    def block_covers(self, doc: int) -> bool:
+        return self.bi < self.n_blocks and doc <= int(self.key_max_arr[self.bi])
+
+    def next_geq(self, target: int) -> None:
+        """Advance to the first posting ≥ target; skips whole blocks via
+        key_max metadata without decoding."""
+        if self.bi >= self.n_blocks:
+            return
+        if int(self.key_max_arr[self.bi]) >= target:
+            if int(self.keys[self.pos]) >= target:
+                return
+            self.pos = int(np.searchsorted(self.keys, target, side="left"))
+            if self.pos < len(self.keys):
+                return
+            nxt = self.bi + 1  # unreachable in practice (key_max >= target)
+        else:
+            nxt = int(np.searchsorted(self.key_max_arr, target, side="left"))
+        if nxt >= self.n_blocks:
+            self.bi = self.n_blocks
+            return
+        self._load_block(nxt)
+        self.pos = int(np.searchsorted(self.keys, target, side="left"))
+
+    def score_at(self, doc: int) -> float:
+        if self.bi < self.n_blocks and int(self.keys[self.pos]) == doc:
+            return float(self.scores[self.pos])
+        return 0.0
+
+
+class BM25Engine:
+    """Driver-side BM25 engine over a built index (preloaded block bytes —
+    the decode happens lazily per touched block)."""
+
+    def __init__(self, spark: SparkSession, paths: IndexPaths) -> None:
+        meta = read_meta(paths)
+        self.doc_cols: list[str] = meta["doc_cols"]
+        self.n_docs: int = meta["n_docs"]
+        self.avgdl: float = meta.get("avgdl") or 1.0
+        blocks = spark.read.parquet(paths.blocks).toPandas()
+        self._blocks = {
+            t: g.sort_values("block_no").reset_index(drop=True)
+            for t, g in blocks.groupby("term", sort=False)
+        }
+        wm = spark.read.parquet(paths.wmetric).toPandas()
+        # stored df carries the reference's +1 quirk; undo it for BM25 idf
+        self._df = {t: int(d) - 1 for t, d in zip(wm["term"], wm["df"])}
+        key = doc_key_expr(self.doc_cols)
+        dl = (
+            spark.read.parquet(paths.doc_len)
+            .select(key.alias("doc_key"), "dl")
+            .toPandas()
+        )
+        self._dl_norm = pd.Series(
+            1.0 - BM25_B + BM25_B * dl["dl"].to_numpy(dtype=np.float64) / self.avgdl,
+            index=dl["doc_key"].to_numpy(dtype=np.int64),
+        )
+        self.blocks_decoded = 0  # instrumentation for skip-rate tests
+
+    def _tokenize(self, query: str) -> list[str]:
+        words = _RE_PUNCT.sub(" ", query).strip().lower().split()
+        seen: set[str] = set()
+        out: list[str] = []
+        for w in words:
+            if w not in seen:
+                seen.add(w)
+                out.append(w)
+        return out
+
+    def _weight(self, term: str) -> float:
+        return bm25_idf(self.n_docs, self._df.get(term, 0))
+
+    def search_bruteforce(self, query: str, k: int = 10) -> pd.DataFrame:
+        """Exhaustive scoring of every posting — the correctness oracle."""
+        acc: dict[int, float] = {}
+        for t in self._tokenize(query):
+            g = self._blocks.get(t)
+            if g is None:
+                continue
+            w = self._weight(t)
+            for db, tb in zip(g["doc_bytes"], g["tf_bytes"]):
+                keys, tfs = decode_block(db, tb)
+                keys = keys.astype(np.int64)
+                tf = tfs.astype(np.float64)
+                norm = self._dl_norm.reindex(keys).to_numpy(dtype=np.float64)
+                sc = w * tf * (BM25_K1 + 1.0) / (tf + BM25_K1 * norm)
+                for d, s in zip(keys.tolist(), sc.tolist()):
+                    acc[d] = acc.get(d, 0.0) + s
+        top = heapq.nsmallest(k, acc.items(), key=lambda kv: (-kv[1], kv[0]))
+        return self._to_frame(top)
+
+    def search(self, query: str, k: int = 10) -> pd.DataFrame:
+        """Block-max WAND: exact top-k with block-granular skipping."""
+        cursors = [
+            _Cursor(self._blocks[t], self._weight(t), self._dl_norm)
+            for t in self._tokenize(query)
+            if t in self._blocks
+        ]
+        cursors = [c for c in cursors if not c.exhausted()]
+        if not cursors:
+            return self._to_frame([])
+        heap: list[tuple[float, int]] = []  # (score, -doc), min-heap of k best
+        theta = -math.inf
+
+        def push(doc: int, score: float) -> None:
+            nonlocal theta
+            item = (score, -doc)
+            if len(heap) < k:
+                heapq.heappush(heap, item)
+                if len(heap) == k:
+                    theta = heap[0][0]
+            elif item > heap[0]:
+                heapq.heapreplace(heap, item)
+                theta = heap[0][0]
+
+        while True:
+            live = [c for c in cursors if not c.exhausted()]
+            if not live:
+                break
+            live.sort(key=_Cursor.cur_doc)
+            # pivot: shortest prefix whose suffix bounds can reach θ
+            acc = 0.0
+            pivot_idx = None
+            for i, c in enumerate(live):
+                acc += c.tail_ub()
+                if acc >= theta:  # >= so exact ties can still win by doc asc
+                    pivot_idx = i
+                    break
+            if pivot_idx is None:
+                break
+            pivot = live[pivot_idx].cur_doc()
+            if live[0].cur_doc() == pivot:
+                # align all cursors before the pivot, then refine the bound
+                # with the blocks actually containing it
+                for c in live[:pivot_idx]:
+                    c.next_geq(pivot)
+                bound = 0.0
+                for c in live:
+                    if c.cur_doc() > pivot and not c.block_covers(pivot):
+                        continue
+                    bound += c.block_ub()
+                if bound >= theta:
+                    score = sum(c.score_at(pivot) for c in live)
+                    push(pivot, score)
+                for c in live:
+                    if c.cur_doc() == pivot:
+                        c.next_geq(pivot + 1)
+            else:
+                live[0].next_geq(pivot)
+        top = sorted(((s, -negd) for s, negd in heap), key=lambda kv: (-kv[0], kv[1]))
+        return self._to_frame([(d, s) for s, d in top])
+
+    def _to_frame(self, pairs: list[tuple[int, float]]) -> pd.DataFrame:
+        if not pairs:
+            out = doc_key_to_cols(np.array([], dtype=np.int64), self.doc_cols)
+            out["score"] = pd.Series([], dtype="float64")
+            return out
+        keys = np.array([d for d, _ in pairs], dtype=np.int64)
+        out = doc_key_to_cols(keys, self.doc_cols)
+        out["score"] = [s for _, s in pairs]
+        return out

@@ -112,6 +112,24 @@ def test_manifest_written_and_resume_skips(spark, built_index, xs_df, dictionary
         assert os.path.getmtime(m) == t, f"resume re-ran {m}"
 
 
+def test_resume_rebuilds_only_invalidated_bucket(spark, xs_df, dictionary, tmp_path):
+    """Deleting one bucket's manifest → rebuild touches only that bucket."""
+    from holi_search_engine_spark.plans.index_build import build_index
+
+    out = str(tmp_path / "idx_resume")
+    paths = build_index(spark, xs_df, out, dictionary, buckets=2, build_blocks=False)
+    m0 = os.path.join(paths.manifest, "postings_bucket_0000.json")
+    m1 = os.path.join(paths.manifest, "postings_bucket_0001.json")
+    t0_before = os.path.getmtime(m0)
+    os.remove(m1)
+    before = _postings_as_dict(spark, paths)
+    build_index(spark, xs_df, out, dictionary, buckets=2, build_blocks=False)
+    assert os.path.getmtime(m0) == t0_before  # untouched bucket skipped
+    assert os.path.exists(m1)  # invalidated bucket rebuilt
+    after = _postings_as_dict(spark, paths)
+    assert before == after  # content identical after partial rebuild
+
+
 def test_per_row_invariant_roundtrip(spark, xs_df, xs_pdf):
     """North-rule per-row invariant: per-turn text equality under stable
     (conv_id, turn_idx) ordering after a Spark round-trip."""

@@ -1,0 +1,105 @@
+"""Structured Streaming: incremental index deltas converge to the batch
+build, and watermarked windowed aggregation matches the batch window agg."""
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_incremental_index_converges_to_batch(
+    spark, xs_pdf, dictionary, tmp_path
+):
+    """Stream the corpus in two file drops; after stage-B rebuild the
+    postings must equal a one-shot batch build over the full corpus."""
+    from holi_search_engine_spark.plans.index_build import build_index
+    from holi_search_engine_spark.streaming.incremental import (
+        stream_transcript_deltas,
+    )
+
+    pdf = xs_pdf.copy()
+    pdf["ts"] = pdf["ts"].dt.tz_localize(None)
+    half = pdf["conv_id"] < "conv-00000025"
+    part1, part2 = pdf[half], pdf[~half]
+
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    idx_dir = str(tmp_path / "idx_stream")
+
+    # bootstrap: batch-build on the first half
+    df1 = spark.createDataFrame(part1)
+    paths = build_index(spark, df1, idx_dir, dictionary, buckets=2, build_blocks=False)
+
+    # drop the second half as a new file; stream it in
+    spark.createDataFrame(part2).coalesce(1).write.mode("overwrite").parquet(
+        str(inbox / "drop2")
+    )
+    q = stream_transcript_deltas(
+        spark, str(inbox / "drop2"), paths, dictionary, buckets=2
+    )
+    q.awaitTermination(120)
+
+    # stage-B manifests were invalidated → resumable build redoes them;
+    # stage A must NOT rerun (its manifest still stands)
+    stage_a = os.path.join(paths.manifest, "stage_a.json")
+    mtime = os.path.getmtime(stage_a)
+    df_all = spark.createDataFrame(pdf)
+    build_index(spark, df_all, idx_dir, dictionary, buckets=2, build_blocks=False)
+    assert os.path.getmtime(stage_a) == mtime
+
+    # compare to a fresh one-shot batch build
+    batch_dir = str(tmp_path / "idx_batch")
+    batch = build_index(spark, df_all, batch_dir, dictionary, buckets=2, build_blocks=False)
+
+    def canon(p):
+        return (
+            spark.read.parquet(p.postings)
+            .select("term", F.to_json("postings").alias("p"))
+            .orderBy("term")
+            .toPandas()
+        )
+
+    a, b = canon(paths), canon(batch)
+    assert len(a) == len(b)
+    assert (a["term"].to_numpy() == b["term"].to_numpy()).all()
+    assert (a["p"].to_numpy() == b["p"].to_numpy()).all()
+
+
+def test_windowed_stream_matches_batch(spark, tmp_path):
+    from holi_search_engine_spark.streaming.incremental import stream_events_windowed
+
+    # the file stream source requires a directory of files
+    src_dir = tmp_path / "events_in"
+    src_dir.mkdir()
+    shutil.copy("/root/testdata/sf0.001/events.parquet", src_dir / "part-0.parquet")
+    src = str(src_dir)
+    out = str(tmp_path / "win_out")
+    ckpt = str(tmp_path / "win_ckpt")
+    q = stream_events_windowed(spark, src, out, ckpt, watermark="0 seconds")
+    q.awaitTermination(120)
+    got = (
+        spark.read.parquet(out)
+        .groupBy("window_start", "event_type")
+        .agg(F.sum("n").alias("n"), F.round(F.sum("total"), 2).alias("total"))
+        .orderBy("window_start", "event_type")
+        .toPandas()
+    )
+    exp = (
+        spark.read.parquet(src)
+        .groupBy(F.date_trunc("hour", "ts").alias("window_start"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .orderBy("window_start", "event_type")
+        .toPandas()
+    )
+    # append mode withholds windows the watermark has not passed — the
+    # final window per event_type may be absent; every EMITTED window must
+    # match the batch aggregation exactly
+    n_types = exp["event_type"].nunique()
+    assert len(got) >= len(exp) - n_types
+    merged = got.merge(
+        exp, on=["window_start", "event_type"], suffixes=("_s", "_b"), how="left"
+    )
+    assert merged["n_b"].notna().all()  # no spurious windows
+    assert (merged["n_s"].to_numpy() == merged["n_b"].to_numpy()).all()
+    assert (abs(merged["total_s"].to_numpy() - merged["total_b"].to_numpy()) < 1e-6).all()
