@@ -159,7 +159,9 @@ class IndexPaths:
 
     @property
     def ntf(self) -> str:
-        return os.path.join(self.root, "ntf")
+        # ntf is a column of doc_stats; parquet column pruning makes a
+        # separate copy pointless (readers .select the columns they need)
+        return os.path.join(self.root, "doc_stats")
 
     @property
     def wmetric(self) -> str:
@@ -171,7 +173,7 @@ class IndexPaths:
 
     @property
     def doc_len(self) -> str:
-        return os.path.join(self.root, "doc_len")
+        return os.path.join(self.root, "doc_stats")
 
     @property
     def doc_stats(self) -> str:
@@ -269,15 +271,17 @@ def build_index(
         )
         doc_stats.write.mode("overwrite").parquet(paths.doc_stats)
         doc_stats_r = spark.read.parquet(paths.doc_stats)
-        doc_stats_r.select(*doc_cols, "ntf").write.mode("overwrite").parquet(paths.ntf)
-        doc_stats_r.select(*doc_cols, "dl").write.mode("overwrite").parquet(paths.doc_len)
         avgdl = doc_stats_r.agg(F.avg("dl")).collect()[0][0] or 0.0
 
+        # shuffle-free bucket-partitioned write: each task splits its rows
+        # across the ≤`buckets` directories (the downstream posting/block
+        # jobs shuffle by term anyway, so pre-clustering by bucket here
+        # would pay a full shuffle of the largest intermediate for nothing;
+        # bucket dirs exist purely for resume-time partition pruning)
         (
             term_raw.withColumn(
                 "bucket", F.pmod(F.xxhash64("term"), F.lit(buckets)).cast("int")
             )
-            .repartition(F.col("bucket"))
             .write.mode("overwrite")
             .partitionBy("bucket")
             .parquet(paths.term_tf)

@@ -79,9 +79,8 @@ def stream_transcript_deltas(
             F.pow(F.sum(F.col("tf").cast("double") * F.col("tf")), F.lit(0.25)).alias("ntf"),
             F.sum("tf").cast("long").alias("dl"),
         ).cache()
+        # paths.ntf / paths.doc_len are column views of doc_stats — one write
         doc_stats.write.mode("append").parquet(paths.doc_stats)
-        doc_stats.select("conv_id", "turn_idx", "ntf").write.mode("append").parquet(paths.ntf)
-        doc_stats.select("conv_id", "turn_idx", "dl").write.mode("append").parquet(paths.doc_len)
         doc_stats.unpersist()
         build_doc_meta(batch_df).write.mode("append").parquet(paths.doc_meta)
         term_tf.unpersist()
