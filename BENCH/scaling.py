@@ -57,7 +57,7 @@ out = "/tmp/holi_scaling_idx_{cpus}"
 shutil.rmtree(out, ignore_errors=True)
 t0 = time.time()
 build_index(spark, corpus, out, frozenset(make_vocabulary()), buckets=8,
-            build_blocks=True)
+            build_blocks=True, build_postings_table=False)
 wall = time.time() - t0
 calib_after = calibrate({cpus})
 print("RESULT " + json.dumps({{"cpus": {cpus}, "n_turns": n_turns,
@@ -69,8 +69,14 @@ spark.stop()
 
 def run_once(cpus: int, convs: int) -> dict:
     code = CHILD.format(repo=REPO, cpus=cpus, convs=convs)
+    # Pin the whole child process tree (JVM + pyspark workers + the
+    # calibration pool) to exactly `cpus` host CPUs.  Without this a
+    # local[N] JVM quietly uses extra host cores for GC/IO/codegen threads
+    # — the small leg "cheats" and the measured efficiency understates the
+    # engine.  Pinning is the faithful stand-in for an N-executor cluster,
+    # where each executor is core-bounded by the resource manager.
     proc = subprocess.run(
-        [sys.executable, "-c", code],
+        ["taskset", "-c", f"0-{cpus - 1}", sys.executable, "-c", code],
         capture_output=True,
         text=True,
         cwd=REPO,
@@ -131,9 +137,11 @@ def main() -> None:
     block = f"""<!-- scaling:auto -->
 ## Measured scaling efficiency (sandbox protocol, BASELINE.md §B)
 
-Same index-build job (tokenize → salted postings → compressed blocks,
-8 buckets), same deterministic input ({n_turns:,} turns), fresh JVM per
-run, interleaved N/4N legs, median of {args.runs} runs:
+Same index-build job (tokenize → bucketed term stream → compressed block
+index, 8 buckets), same deterministic input ({n_turns:,} turns), fresh JVM
+per run, each leg pinned via ``taskset`` to exactly its N host CPUs (the
+faithful stand-in for core-bounded executors), interleaved N/4N legs,
+median of {args.runs} runs:
 
 | parallelism | throughput (turns/s) |
 |---|---|

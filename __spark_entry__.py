@@ -25,11 +25,14 @@ from holi_search_engine_spark.operators import (  # noqa: E402
     flame_ops,
     fulltext,
     graph,
+    multimodal,
     similarity,
     textstats,
 )
 
-_MODULES = [flame_ops, fulltext, dedup, textstats, similarity, events, graph]
+_MODULES = [
+    flame_ops, fulltext, dedup, textstats, similarity, events, graph, multimodal,
+]
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -54,7 +54,8 @@ def main() -> None:
     shutil.rmtree(idx_dir, ignore_errors=True)
     t0 = time.time()
     paths = build_index(
-        spark, corpus, idx_dir, dictionary, buckets=8, build_blocks=True
+        spark, corpus, idx_dir, dictionary, buckets=8, build_blocks=True,
+        build_postings_table=False,  # the block index IS the index
     )
     timings["index_build"] = time.time() - t0
     extra["n_turns"] = float(n_turns)

@@ -131,6 +131,108 @@ def sample_frames(df: DataFrame, n_frames: int = FRAME_COUNT) -> DataFrame:
     return df.select("media_id", "media_type", "media").mapInPandas(kernel, schema=schema)
 
 
+# --------------------------------------------------------------- queries
+# Driver-contract entries: the same decode→feature / frame-sample plumbing
+# run over the driver's ``documents`` table with ``text`` as the opaque
+# payload (code points = the byte stream), so the kernels are verifiable
+# against a DuckDB oracle — the only part a real deployment swaps is the
+# decoder body, not the Spark plumbing.
+
+QUERIES: dict = {}
+ORACLE: dict[str, str] = {}
+
+N_BANDS = FEATURE_DIM
+
+
+def media_doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, band, feature): banded code-point means of the payload —
+    the feature-extraction kernel shape, vectorized via one utf-32 decode
+    + ``np.add.reduceat`` per Arrow batch (no per-row Python)."""
+    from .common import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    schema = "doc_id long, band int, feature double"
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            texts = pdf["text"].fillna("")
+            lens = texts.str.len().to_numpy(np.int64)
+            keep = lens > 0
+            if not keep.any():
+                continue
+            texts, lens = texts[keep], lens[keep]
+            ids = pdf["doc_id"].to_numpy()[keep]
+            cps = np.frombuffer("".join(texts).encode("utf-32-le"), dtype=np.uint32)
+            offs = np.concatenate(([0], np.cumsum(lens)))
+            # band k of a doc covers 0-based positions [ceil(kL/B), ceil((k+1)L/B))
+            k = np.arange(N_BANDS + 1, dtype=np.int64)
+            starts = offs[:-1, None] + (k[None, :] * lens[:, None] + N_BANDS - 1) // N_BANDS
+            counts = np.diff(starts, axis=1)
+            flat = starts[:, :-1].reshape(-1)
+            sums = np.add.reduceat(cps.astype(np.float64), np.minimum(flat, len(cps) - 1))
+            mask = counts.reshape(-1) > 0
+            feats = np.zeros(len(flat))
+            feats[mask] = (sums[mask] / counts.reshape(-1)[mask]) / 255.0
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.repeat(ids, N_BANDS)[mask],
+                    "band": np.tile(np.arange(N_BANDS, dtype=np.int32), len(ids))[mask],
+                    "feature": np.round(feats[mask], 6),
+                }
+            )
+
+    return docs.mapInPandas(kernel, schema=schema)
+
+
+QUERIES["media_doc_features"] = media_doc_features
+ORACLE["media_doc_features"] = f"""
+    WITH pos AS (
+      SELECT doc_id, ((r.i - 1) * {N_BANDS}) // len(text) AS band,
+             ord(substr(text, r.i::INT, 1)) AS cp
+      FROM documents, unnest(range(1, len(text) + 1)) AS r(i)
+    )
+    SELECT doc_id, band::INT AS band, round(avg(cp) / 255.0, 6) AS feature
+    FROM pos GROUP BY doc_id, band
+"""
+
+
+def media_doc_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, frame_no, frame): evenly spaced payload slices — the
+    frame-sampling kernel shape over the documents payload."""
+    from .common import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    schema = "doc_id long, frame_no int, frame binary"
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = {"doc_id": [], "frame_no": [], "frame": []}
+            for did, text in zip(pdf["doc_id"], pdf["text"].fillna("")):
+                step = max(1, len(text) // FRAME_COUNT)
+                for fno in range(FRAME_COUNT):
+                    s = fno * step
+                    out["doc_id"].append(did)
+                    out["frame_no"].append(fno)
+                    out["frame"].append(text[s : s + step].encode())
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(kernel, schema=schema)
+
+
+QUERIES["media_doc_frames"] = media_doc_frames
+ORACLE["media_doc_frames"] = f"""
+    SELECT doc_id, r.f::INT AS frame_no,
+           encode(substr(text, (r.f * step + 1)::INT, step::INT)) AS frame
+    FROM (SELECT doc_id, text, greatest(len(text) // {FRAME_COUNT}, 1) AS step
+          FROM documents),
+         unnest(range(0, {FRAME_COUNT})) AS r(f)
+"""
+
+
 def resize_stub(df: DataFrame, width: int, height: int) -> DataFrame:
     """Resize plumbing: passes metadata through, marks payload transformed
     (real impl swaps the kernel body for PIL resize)."""

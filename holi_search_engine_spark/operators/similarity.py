@@ -164,6 +164,91 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IVF_CELLS = 16
+IVF_NPROBE = 4
+
+
+@q(
+    "ann_ivf_topk",
+    f"""
+    WITH cent AS (SELECT vec_id AS cid, embedding AS cvec
+                  FROM embeddings WHERE vec_id < {IVF_CELLS}),
+    qv AS (SELECT embedding AS probe FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+    assign AS (
+      SELECT e.vec_id, e.embedding, c.cid,
+             round(list_cosine_similarity(e.embedding::DOUBLE[], c.cvec::DOUBLE[]), 6) AS sim
+      FROM embeddings e, cent c
+    ),
+    best AS (
+      SELECT vec_id, embedding, cid FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+        FROM assign
+      ) WHERE rn = 1
+    ),
+    qcells AS (
+      SELECT c.cid FROM cent c, qv
+      ORDER BY round(list_cosine_similarity(c.cvec::DOUBLE[], qv.probe::DOUBLE[]), 6)
+               DESC, c.cid
+      LIMIT {IVF_NPROBE}
+    )
+    SELECT b.vec_id,
+           round(list_cosine_similarity(b.embedding::DOUBLE[], qv.probe::DOUBLE[]), 6)
+             AS cosine
+    FROM best b JOIN qcells q ON b.cid = q.cid, qv
+    ORDER BY cosine DESC, b.vec_id
+    LIMIT {TOP_K}
+    """,
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse quantization: deterministic centroids (the first
+    ``IVF_CELLS`` vectors), each vector assigned to its nearest centroid
+    once (map-only vs a broadcast centroid table), query probes its
+    ``IVF_NPROBE`` nearest cells and re-ranks exactly inside them.  At
+    scale the assignment is written bucketed by ``cid`` so a probe prunes
+    to nprobe/cells of the corpus.  Similarities are rounded to 6dp before
+    the argmin so both engines break near-ties identically."""
+    from pyspark.sql import Window
+
+    emb = load(spark, sf_dir, "embeddings")
+    cent = emb.where(F.col("vec_id") < IVF_CELLS).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    assign = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "embedding",
+        "cid",
+        F.round(_cosine(F.col("embedding"), F.col("cvec")), 6).alias("sim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), "cid")
+    best = (
+        assign.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "embedding", "cid")
+    )
+    qv = emb.where(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("probe")
+    )
+    qcells = (
+        cent.crossJoin(F.broadcast(qv))
+        .select(
+            "cid", F.round(_cosine(F.col("cvec"), F.col("probe")), 6).alias("sim")
+        )
+        .orderBy(F.col("sim").desc(), "cid")
+        .limit(IVF_NPROBE)
+        .select("cid")
+    )
+    return (
+        best.join(F.broadcast(qcells), "cid")
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            F.round(_cosine(F.col("embedding"), F.col("probe")), 6).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(TOP_K)
+    )
+
+
 PAIR_LIMIT = 300  # pairwise over a bounded slice — at scale this runs per LSH bucket
 PAIR_THRESHOLD = 0.35
 

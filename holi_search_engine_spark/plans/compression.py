@@ -124,82 +124,128 @@ BM25_K1 = 1.2
 BM25_B = 0.75
 
 
+def _varbyte_encode_all(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """Encode a uint64 array; returns (buffer, bytes-per-value) so callers
+    can slice per-group ranges out of one contiguous encode."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    if len(v) == 0:
+        return b"", np.zeros(0, dtype=np.int64)
+    n = np.ones(len(v), dtype=np.int64)
+    tmp = v >> np.uint64(7)
+    while tmp.any():
+        n += tmp > 0
+        tmp >>= np.uint64(7)
+    ends = np.cumsum(n)
+    total = int(ends[-1])
+    starts = ends - n
+    idx = np.arange(total, dtype=np.int64)
+    pos = idx - np.repeat(starts, n)
+    vals = np.repeat(v, n)
+    chunk = (vals >> (pos.astype(np.uint64) * np.uint64(7))) & np.uint64(0x7F)
+    is_last = pos == np.repeat(n - 1, n)
+    out = chunk.astype(np.uint8) | np.where(is_last, 0, 0x80).astype(np.uint8)
+    return out.tobytes(), n
+
+
+def _encode_frame(pdf: pd.DataFrame, bno0: int) -> pd.DataFrame:
+    """Vectorized block encode of a (term, doc_key)-sorted frame: ONE pass
+    of boundary detection + ``np.maximum.reduceat`` + a single grouped
+    varbyte encode — no per-term Python loop (a partition holds tens of
+    thousands of terms; looping per term was the block build's hot spot).
+
+    ``bno0`` is the starting block number for the FIRST term group (carry
+    continuation); all other groups start at block 0.
+    """
+    n = len(pdf)
+    terms = pdf["term"].to_numpy()
+    keys = pdf["doc_key"].to_numpy(dtype=np.int64)
+    tfs = pdf["tf"].to_numpy(dtype=np.int64)
+    tf_f = tfs.astype(np.float64)
+    ratio = tf_f / pdf["ntf"].to_numpy(dtype=np.float64)
+    bm25 = tf_f * (BM25_K1 + 1.0) / (
+        tf_f + BM25_K1 * pdf["bm25_norm"].to_numpy(dtype=np.float64)
+    )
+
+    term_change = np.empty(n, dtype=bool)
+    term_change[0] = True
+    term_change[1:] = terms[1:] != terms[:-1]
+    g = np.cumsum(term_change) - 1
+    ts = np.flatnonzero(term_change)
+    offset = np.arange(n, dtype=np.int64) - ts[g]
+    bno = offset // BLOCK_SIZE
+    if bno0:
+        bno[g == 0] += bno0
+    boundary = (offset % BLOCK_SIZE) == 0
+    bs = np.flatnonzero(boundary)  # block start rows
+    be = np.append(bs[1:], n)  # block end rows (exclusive)
+    counts = be - bs
+
+    gaps = keys.astype(np.uint64).copy()
+    gaps[1:] = (keys[1:] - keys[:-1]).astype(np.uint64)
+    gaps[bs] = keys[bs].astype(np.uint64)  # block-first key stored absolute
+    buf_d, nb_d = _varbyte_encode_all(gaps)
+    off_d = np.concatenate(([0], np.cumsum(nb_d)))
+    buf_t, nb_t = _varbyte_encode_all(tfs.astype(np.uint64))
+    off_t = np.concatenate(([0], np.cumsum(nb_t)))
+
+    return pd.DataFrame(
+        {
+            "term": terms[bs],
+            "block_no": bno[bs].astype(np.int32),
+            "n": counts.astype(np.int32),
+            "key_min": keys[bs],
+            "key_max": keys[be - 1],
+            "max_tf": np.maximum.reduceat(tfs, bs).astype(np.int32),
+            "ub_tf_ntf": np.maximum.reduceat(ratio, bs),
+            "ub_bm25": np.maximum.reduceat(bm25, bs),
+            "doc_bytes": [buf_d[s:e] for s, e in zip(off_d[bs], off_d[be])],
+            "tf_bytes": [buf_t[s:e] for s, e in zip(off_t[bs], off_t[be])],
+        }
+    )
+
+
 def _blocks_from_sorted(pdf_iter):
-    """mapInPandas kernel: consumes (term, doc_key, tf, ntf) rows sorted by
-    (term, doc_key) within the partition and emits block rows.
+    """mapInPandas kernel: consumes (term, doc_key, tf, ntf, bm25_norm)
+    rows sorted by (term, doc_key) within the partition and emits block
+    rows.
 
     Terms never span partitions (partitioned by term hash), but may span
-    Arrow batches — a per-term tail carries over between batches, bounded
-    by BLOCK_SIZE + batch size.
+    Arrow batches — the last term's unfinished rows carry over between
+    batches (bounded by BLOCK_SIZE + batch size); everything else encodes
+    vectorized via :func:`_encode_frame`.
     """
     carry: pd.DataFrame | None = None
-
-    def emit(group: pd.DataFrame, flush_all: bool) -> tuple[list[dict], pd.DataFrame | None]:
-        rows: list[dict] = []
-        n = len(group)
-        full = (n // BLOCK_SIZE) * BLOCK_SIZE
-        cut = n if flush_all else full
-        term = group["term"].iloc[0]
-        keys_all = group["doc_key"].to_numpy(dtype=np.int64)
-        tfs_all = group["tf"].to_numpy(dtype=np.int64)
-        tf_f = group["tf"].to_numpy(dtype=np.float64)
-        ratio_all = tf_f / group["ntf"].to_numpy(dtype=np.float64)
-        norm = group["bm25_norm"].to_numpy(dtype=np.float64)
-        bm25_all = tf_f * (BM25_K1 + 1.0) / (tf_f + BM25_K1 * norm)
-        bno = (
-            int(group["_bno"].iloc[0])
-            if "_bno" in group and pd.notna(group["_bno"].iloc[0])
-            else 0
-        )
-        for s in range(0, cut, BLOCK_SIZE):
-            e = min(s + BLOCK_SIZE, cut)
-            keys, tfs = keys_all[s:e], tfs_all[s:e]
-            db, tb = encode_block(keys.astype(np.uint64), tfs)
-            rows.append(
-                {
-                    "term": term,
-                    "block_no": bno,
-                    "n": int(e - s),
-                    "key_min": int(keys[0]),
-                    "key_max": int(keys[-1]),
-                    "max_tf": int(tfs.max()),
-                    "ub_tf_ntf": float(ratio_all[s:e].max()),
-                    "ub_bm25": float(bm25_all[s:e].max()),
-                    "doc_bytes": db,
-                    "tf_bytes": tb,
-                }
-            )
-            bno += 1
-        rest = group.iloc[cut:].copy()
-        if len(rest):
-            rest["_bno"] = bno
-        return rows, (rest if len(rest) else None)
+    carry_bno = 0
 
     for pdf in pdf_iter:
-        if carry is not None:
-            pdf = pd.concat([carry, pdf], ignore_index=True)
-            carry = None
         if not len(pdf):
             continue
-        out_rows: list[dict] = []
+        if carry is not None:
+            head_bno0 = carry_bno  # carry rows always form group 0
+            pdf = pd.concat([carry, pdf], ignore_index=True)
+            carry, carry_bno = None, 0
+        else:
+            head_bno0 = 0
         terms = pdf["term"].to_numpy()
-        # boundary of the last term in the batch: it may continue next batch
-        last_term = terms[-1]
-        is_last_term = terms == last_term
-        head = pdf[~is_last_term]
-        tail = pdf[is_last_term]
+        last_start = int(np.flatnonzero(terms != terms[-1])[-1] + 1) if terms[0] != terms[-1] else 0
+        head = pdf.iloc[:last_start]
+        tail = pdf.iloc[last_start:].reset_index(drop=True)
         if len(head):
-            for _, group in head.groupby("term", sort=False):
-                rows, _ = emit(group.reset_index(drop=True), flush_all=True)
-                out_rows.extend(rows)
-        rows, carry = emit(tail.reset_index(drop=True), flush_all=False)
-        out_rows.extend(rows)
-        if out_rows:
-            yield pd.DataFrame(out_rows)
+            yield _encode_frame(head.reset_index(drop=True), head_bno0)
+            tail_bno0 = 0
+        else:
+            tail_bno0 = head_bno0
+        # emit only the tail's FULL blocks; remainder carries to next batch
+        full = (len(tail) // BLOCK_SIZE) * BLOCK_SIZE
+        if full:
+            yield _encode_frame(tail.iloc[:full].reset_index(drop=True), tail_bno0)
+        carry = tail.iloc[full:].reset_index(drop=True)
+        carry_bno = tail_bno0 + full // BLOCK_SIZE
+        if not len(carry):
+            carry = None
+            carry_bno = 0
     if carry is not None and len(carry):
-        rows, _ = emit(carry.reset_index(drop=True), flush_all=True)
-        if rows:
-            yield pd.DataFrame(rows)
+        yield _encode_frame(carry, carry_bno)
 
 
 def build_block_index(

@@ -232,6 +232,7 @@ def build_index(
     salt: int = DEFAULT_SALT,
     n_for_idf: int | None = None,
     build_blocks: bool = True,
+    build_postings_table: bool = True,
     resume: bool = True,
 ) -> IndexPaths:
     """Full resumable build: stage A (tokenize + stats, one corpus pass),
@@ -249,13 +250,14 @@ def build_index(
     # - doc-local stats (ntf, dl) aggregate BEFORE the bucket shuffle, so
     #   map-side partial aggregation collapses each doc inside its single
     #   input partition (~n_docs rows shuffled instead of ~n_postings);
-    # - the bucket-partitioned term stream is the only full-width shuffle;
-    # - wmetric (term df) is partial-agg-friendly from the same cache;
-    # - doc_meta is a map-only pass over the corpus.
+    # - the bucket-partitioned term stream is the only full-width write;
+    # - doc_meta / avgdl / corpus count run concurrently with it;
+    # - wmetric (term df/idf) is derived later from index metadata.
     if not (resume and _manifest_done(paths, "stage_a")):
         from pyspark import StorageLevel
 
         t0 = time.time()
+        sub: dict[str, float] = {}
         term_raw = tokenize_terms(transcripts, dictionary, doc_cols, text_col)
         # At sandbox scale the token stream fits in memory; on a cluster set
         # spark.storage.level semantics accordingly (DISK_ONLY still beats
@@ -270,32 +272,54 @@ def build_index(
             )
         )
         doc_stats.write.mode("overwrite").parquet(paths.doc_stats)
-        doc_stats_r = spark.read.parquet(paths.doc_stats)
-        avgdl = doc_stats_r.agg(F.avg("dl")).collect()[0][0] or 0.0
+        sub["tokenize_doc_stats"] = time.time() - t0
+        t1 = time.time()
 
-        # shuffle-free bucket-partitioned write: each task splits its rows
-        # across the ≤`buckets` directories (the downstream posting/block
-        # jobs shuffle by term anyway, so pre-clustering by bucket here
-        # would pay a full shuffle of the largest intermediate for nothing;
-        # bucket dirs exist purely for resume-time partition pruning)
-        (
-            term_raw.withColumn(
-                "bucket", F.pmod(F.xxhash64("term"), F.lit(buckets)).cast("int")
+        # The remaining stage-A jobs are independent; submit them from two
+        # threads so the small fixed-cost jobs (avgdl, corpus count,
+        # doc_meta) overlap the big bucket-partitioned write instead of
+        # serializing after it — Spark's scheduler interleaves concurrent
+        # jobs, and at 1000-executor scale this is exactly "don't leave the
+        # cluster idle between driver-side job submissions".
+        from concurrent.futures import ThreadPoolExecutor
+
+        def big_write() -> None:
+            # shuffle-free bucket-partitioned write: each task splits its
+            # rows across the ≤`buckets` directories (the downstream
+            # posting/block jobs shuffle by term anyway, so pre-clustering
+            # by bucket here would pay a full shuffle of the largest
+            # intermediate for nothing; bucket dirs exist purely for
+            # resume-time partition pruning)
+            (
+                term_raw.withColumn(
+                    "bucket", F.pmod(F.xxhash64("term"), F.lit(buckets)).cast("int")
+                )
+                .write.mode("overwrite")
+                .partitionBy("bucket")
+                .parquet(paths.term_tf)
             )
-            .write.mode("overwrite")
-            .partitionBy("bucket")
-            .parquet(paths.term_tf)
-        )
 
-        n_turns = transcripts.count()
-        # (conv_id, turn_idx) is the primary key: one doc per turn — no
-        # distinct() pass over the corpus needed
+        def small_jobs() -> tuple[float, int]:
+            avgdl_ = (
+                spark.read.parquet(paths.doc_stats).agg(F.avg("dl")).collect()[0][0]
+                or 0.0
+            )
+            # (conv_id, turn_idx) is the primary key: one doc per turn — no
+            # distinct() pass over the corpus needed
+            n_turns_ = transcripts.count()
+            build_doc_meta(transcripts, doc_cols, text_col).write.mode(
+                "overwrite"
+            ).parquet(paths.doc_meta)
+            return avgdl_, n_turns_
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_big = pool.submit(big_write)
+            f_small = pool.submit(small_jobs)
+            avgdl, n_turns = f_small.result()
+            f_big.result()
+        sub["term_tf_write_and_small"] = time.time() - t1
         n_docs = n_turns
         n_idf = n_for_idf if n_for_idf is not None else n_docs
-        build_wmetric(term_raw, n_idf).write.mode("overwrite").parquet(paths.wmetric)
-        build_doc_meta(transcripts, doc_cols, text_col).write.mode("overwrite").parquet(
-            paths.doc_meta
-        )
         term_raw.unpersist()
         wall = time.time() - t0
         with open(paths.meta_json, "w") as f:
@@ -318,6 +342,7 @@ def build_index(
                 "n_docs": n_docs,
                 "wall_sec": wall,
                 "turns_per_sec": n_turns / wall if wall else None,
+                "sub_walls": {k: round(v, 2) for k, v in sub.items()},
             },
         )
 
@@ -326,9 +351,17 @@ def build_index(
     # bucket); partial resume → only the missing buckets, each pruned to
     # its term_tf partition.  Either way the manifest records per-bucket
     # lineage (term/posting counts + wall time).
-    remaining = [
-        b for b in range(buckets) if not (resume and _manifest_done(paths, "postings", b))
-    ]
+    # The array-per-term postings table is a reference-parity artifact
+    # (the "index" table shape, ``jobs/Indexer.java:142-176``); the
+    # production index is the compressed block table, built directly from
+    # the sorted term stream — a Zipf-head term's full posting array in one
+    # row is exactly the single-task hot spot the block path avoids, so
+    # headline builds skip this stage.
+    remaining = (
+        [b for b in range(buckets) if not (resume and _manifest_done(paths, "postings", b))]
+        if build_postings_table
+        else []
+    )
     if remaining:
         t0 = time.time()
         term_tf_r = spark.read.parquet(paths.term_tf)
@@ -388,6 +421,41 @@ def build_index(
                     {"bucket": b, "wall_sec": wall / len(remaining)},
                     bucket=b,
                 )
+
+    # ---- wmetric (df/idf, quirk Q3): derived from index METADATA, not by
+    # re-aggregating the full token stream — df per term is sum(n) over its
+    # block rows (~df/128 rows) or the stored df of its postings row, three
+    # orders of magnitude less data at scale.
+    if not (resume and _manifest_done(paths, "wmetric")):
+        t0 = time.time()
+        meta = read_meta(paths)
+        n_idf = meta["n_for_idf"]
+        if build_blocks:
+            df_per_term = (
+                spark.read.parquet(paths.blocks)
+                .groupBy("term")
+                .agg(F.sum("n").alias("df_true"))
+            )
+        elif build_postings_table:
+            df_per_term = spark.read.parquet(paths.postings).select(
+                "term", F.col("df").alias("df_true")
+            )
+        else:
+            df_per_term = (
+                spark.read.parquet(paths.term_tf)
+                .groupBy("term")
+                .agg(F.count(F.lit(1)).alias("df_true"))
+            )
+        (
+            df_per_term.select(
+                "term",
+                (F.col("df_true") + F.lit(1)).alias("df"),
+                F.log(F.lit(float(n_idf)) / (F.col("df_true") + F.lit(1))).alias("idf"),
+            )
+            .write.mode("overwrite")
+            .parquet(paths.wmetric)
+        )
+        _manifest_write(paths, "wmetric", {"wall_sec": time.time() - t0})
 
     return paths
 
