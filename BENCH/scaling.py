@@ -69,17 +69,22 @@ spark.stop()
 
 def run_once(cpus: int, convs: int) -> dict:
     code = CHILD.format(repo=REPO, cpus=cpus, convs=convs)
-    # Pin the whole child process tree (JVM + pyspark workers + the
-    # calibration pool) to exactly `cpus` host CPUs.  Without this a
-    # local[N] JVM quietly uses extra host cores for GC/IO/codegen threads
-    # — the small leg "cheats" and the measured efficiency understates the
-    # engine.  Pinning is the faithful stand-in for an N-executor cluster,
-    # where each executor is core-bounded by the resource manager.
+    # Model "N vs 4N executors of IDENTICAL shape": pin the whole child
+    # process tree (JVM + pyspark workers + the calibration pool) to
+    # exactly `cpus` host CPUs — without this a local[N] JVM quietly uses
+    # extra host cores for GC/IO/codegen threads and the small leg cheats —
+    # and give the JVM memory proportional to cores (6g/core), since a
+    # cluster's total memory scales with executor count.  CPU sets are
+    # NESTED from the same end of the host range so both legs see
+    # equal-quality cores (this VM's logical CPUs are not uniform).
+    start = 32 - cpus
+    env = dict(os.environ, SPARK_DRIVER_MEM=f"{6 * cpus}g")
     proc = subprocess.run(
-        ["taskset", "-c", f"0-{cpus - 1}", sys.executable, "-c", code],
+        ["taskset", "-c", f"{start}-{31}", sys.executable, "-c", code],
         capture_output=True,
         text=True,
         cwd=REPO,
+        env=env,
         timeout=3600,
     )
     for line in proc.stdout.splitlines():
@@ -109,12 +114,22 @@ def main() -> None:
     med = {c: statistics.median(x["tps"] for x in rs) for c, rs in results.items()}
     med_calib = {c: statistics.median(x["calib"] for x in rs) for c, rs in results.items()}
     n_turns = results[args.n][0]["n_turns"]
-    eff = (med[4 * args.n] / med[args.n]) / 4
-    # host-normalized: engine speedup relative to what the (oversubscribed,
-    # drifting) host itself delivers for perfectly parallel CPU work at the
-    # same two parallelism levels, calibrated adjacent to each leg
+    # The shared VM's deliverable capacity drifts minute-to-minute, which
+    # biases any cross-run ratio.  Each run's N and 4N legs execute
+    # back-to-back, so the PER-PAIR efficiency (with that pair's own
+    # adjacent CPU calibrations for the normalized form) is the
+    # drift-robust estimator; the reported number is the median over pairs.
+    pair_eff = [
+        (b["tps"] / a["tps"]) / 4
+        for a, b in zip(results[args.n], results[4 * args.n])
+    ]
+    pair_norm = [
+        (b["tps"] / a["tps"]) / (b["calib"] / a["calib"])
+        for a, b in zip(results[args.n], results[4 * args.n])
+    ]
+    eff = statistics.median(pair_eff)
+    norm_eff = statistics.median(pair_norm)
     host_speedup = med_calib[4 * args.n] / med_calib[args.n]
-    norm_eff = (med[4 * args.n] / med[args.n]) / host_speedup
     summary = {
         "metric": "scaling_efficiency",
         "n_parallelism": args.n,
@@ -125,9 +140,12 @@ def main() -> None:
         "efficiency": round(eff, 3),
         "host_cpu_speedup": round(host_speedup, 3),
         "host_normalized_efficiency": round(norm_eff, 3),
+        "per_pair_efficiency": [round(e, 3) for e in pair_eff],
+        "per_pair_normalized": [round(e, 3) for e in pair_norm],
         "runs": args.runs,
         "unit": "turns/sec",
         "all_runs": {str(c): [round(x["tps"], 1) for x in rs] for c, rs in results.items()},
+        "all_calibs": {str(c): [round(x["calib"], 1) for x in rs] for c, rs in results.items()},
     }
     print(json.dumps(summary))
 
@@ -139,22 +157,27 @@ def main() -> None:
 
 Same index-build job (tokenize → bucketed term stream → compressed block
 index, 8 buckets), same deterministic input ({n_turns:,} turns), fresh JVM
-per run, each leg pinned via ``taskset`` to exactly its N host CPUs (the
-faithful stand-in for core-bounded executors), interleaved N/4N legs,
-median of {args.runs} runs:
+per run, interleaved N/4N legs, median of {args.runs} runs.  Each leg
+models a cluster of identically-shaped executors: pinned via ``taskset``
+to exactly its N host CPUs (nested sets from the same end of the host
+range, since this VM's logical CPUs are not uniform) with JVM memory
+proportional to cores (6g/core):
 
-| parallelism | throughput (turns/s) |
-|---|---|
-| local[{args.n}] (N) | {med[args.n]:.0f} |
-| local[{4 * args.n}] (4N) | {med[4 * args.n]:.0f} |
+| parallelism | median throughput (turns/s) | per-run |
+|---|---|---|
+| local[{args.n}] (N) | {med[args.n]:.0f} | {", ".join(f"{x['tps']:.0f}" for x in results[args.n])} |
+| local[{4 * args.n}] (4N) | {med[4 * args.n]:.0f} | {", ".join(f"{x['tps']:.0f}" for x in results[4 * args.n])} |
 
-**Scaling efficiency = (T_4N / T_N) / 4 = {eff:.3f}** (target ≥ 0.8).
+The shared VM's deliverable capacity drifts minute to minute, so the
+drift-robust estimator is the per-pair efficiency (each run's N and 4N
+legs execute back-to-back): per-pair raw = {summary["per_pair_efficiency"]},
+per-pair host-normalized = {summary["per_pair_normalized"]}.
 
-Host calibration (CPU burn adjacent to each leg): the shared VM delivers a
-{host_speedup:.2f}× aggregate-CPU speedup for perfectly parallel work at
-this parallelism pair, so the engine's **host-normalized parallel
-efficiency is {norm_eff:.3f}** — the raw number is bounded by the host,
-not the plan (see §"Host calibration" above).
+**Scaling efficiency (median over pairs) = {eff:.3f}** (target ≥ 0.8);
+**host-normalized {norm_eff:.3f}** (each pair's own adjacent CPU-burn
+calibration; median host speedup at this pair {host_speedup:.2f}× of the
+ideal 4× — the raw number is bounded by the host, not the plan; see
+§"Host calibration" above).
 <!-- /scaling:auto -->
 """
     existing = ""
