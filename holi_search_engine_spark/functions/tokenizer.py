@@ -82,18 +82,25 @@ def accept_mask(tokens: pd.Series, dictionary: frozenset[str]) -> pd.Series:
 def explode_tokens(pdf: pd.DataFrame, doc_cols: list[str], text_col: str = "text") -> pd.DataFrame:
     """Clean + split + explode a batch into one row per surviving token.
 
-    Output columns: ``doc_cols`` + ``token``; ordered by original token
+    Output columns: ``doc_cols`` + ``token``, with the ORIGINAL batch row
+    number as the index (one batch row = one doc); ordered by token
     position within each doc (length-filtered rows already dropped, as both
     reference passes skip them before any counter advances).
     """
-    cleaned = clean_text(pdf[text_col])
+    cleaned = clean_text(pdf.reset_index(drop=True)[text_col])
     toks = cleaned.str.split()
-    out = pdf[doc_cols].copy()
+    out = pdf.reset_index(drop=True)[doc_cols].copy()
     out["token"] = toks
-    out = out.explode("token", ignore_index=True)
+    out = out.explode("token")  # index = original batch row (the doc)
     out = out[out["token"].notna()]
     out = out[out["token"].str.len() <= MAX_TOKEN_LEN]
-    return out.reset_index(drop=True)
+    return out
+
+
+# bit layout of the packed (doc, term, pos) key used for the position-set
+# union: 23 bits batch row + 20 bits term code + 21 bits position
+_POS_BITS = 21
+_TERM_BITS = 20
 
 
 def tokenize_batch(
@@ -105,43 +112,86 @@ def tokenize_batch(
     """Full two-pass tokenization of a batch of documents.
 
     Returns one row per (doc, term) with its tf (position-union size).
+
+    All per-token work is numpy array math: after ``explode`` each doc's
+    tokens are one contiguous run, so the two reference position counters
+    (pass 1 advances on accepted tokens only, pass 2 on all —
+    ``Indexer.java:85-128``) are cumsum arithmetic, and the TreeSet
+    position-union + tf count collapse to two ``np.unique`` calls over a
+    packed ``(doc, term, pos)`` integer key.
     """
-    from .stemmer import stem_series
+    from .stemmer import stem_word
 
-    tok = explode_tokens(pdf, doc_cols, text_col)
+    empty = pd.DataFrame(columns=[*doc_cols, "term", "tf"]).astype(
+        {c: pdf[c].dtype for c in doc_cols} | {"term": object, "tf": "int64"}
+    )
+    cleaned = clean_text(pdf.reset_index(drop=True)[text_col])
+    tok = cleaned.str.split().explode()  # index = original batch row (doc)
+    tok = tok[tok.notna()]
     if len(tok) == 0:
-        return pd.DataFrame(columns=[*doc_cols, "term", "tf"]).astype(
-            {c: pdf[c].dtype for c in doc_cols} | {"term": object, "tf": "int64"}
+        return empty
+
+    # Every per-token string operation (length cap, Trie rules, lowercase,
+    # stem) runs on the batch's UNIQUE tokens and is indexed back — tokens
+    # repeat heavily (Zipf), so this is ~100× less string work per batch.
+    row_id = tok.index.to_numpy(dtype=np.int64)
+    tcodes, uniq = pd.factorize(tok.to_numpy())
+    uniq_s = pd.Series(uniq)
+    keep = (uniq_s.str.len().to_numpy(np.int64) <= MAX_TOKEN_LEN)[tcodes]
+    if not keep.all():
+        row_id, tcodes = row_id[keep], tcodes[keep]
+    if len(row_id) == 0:
+        return empty
+    n = len(row_id)
+    run_start = np.empty(n, dtype=bool)
+    run_start[0] = True
+    run_start[1:] = row_id[1:] != row_id[:-1]
+    rs = np.flatnonzero(run_start)
+    run_id = np.cumsum(run_start) - 1
+
+    acc_u = accept_mask(uniq_s, dictionary).to_numpy(dtype=bool)
+    acc = acc_u[tcodes]
+    c = np.cumsum(acc)
+    pos1 = c - (c - acc)[rs][run_id]  # per-doc count of accepted tokens so far
+    pos2 = np.arange(n, dtype=np.int64) - rs[run_id] + 1  # per-doc 1-based index
+
+    lower_u = uniq_s.str.lower()
+    stem_u = lower_u.map(stem_word)
+    union = np.concatenate([lower_u.to_numpy(), stem_u.to_numpy()])
+    ucodes, uniq_terms = pd.factorize(union)
+    lcode_u, scode_u = ucodes[: len(uniq)], ucodes[len(uniq) :]
+
+    rows_all = np.concatenate([row_id[acc], row_id])
+    codes = np.concatenate([lcode_u[tcodes[acc]], scode_u[tcodes]])
+    pos_all = np.concatenate([pos1[acc], pos2])
+
+    if (
+        len(uniq_terms) < (1 << _TERM_BITS)
+        and (pos_all.max() if len(pos_all) else 0) < (1 << _POS_BITS)
+    ):
+        key = (
+            (rows_all << (_TERM_BITS + _POS_BITS))
+            | (codes.astype(np.int64) << _POS_BITS)
+            | pos_all
         )
+        uk = np.unique(key)  # (doc, term, pos) union across the two passes
+        doc_term = uk >> _POS_BITS
+        pairs, tf = np.unique(doc_term, return_counts=True)
+        out_rows = (pairs >> _TERM_BITS).astype(np.int64)
+        out_terms = uniq_terms[(pairs & ((1 << _TERM_BITS) - 1)).astype(np.int64)]
+    else:  # degenerate batch (¬ 1M distinct terms / 2M-token doc): pandas path
+        both = pd.DataFrame({"r": rows_all, "t": codes, "p": pos_all})
+        both = both.drop_duplicates()
+        g = both.groupby(["r", "t"], sort=True).size().reset_index(name="tf")
+        out_rows = g["r"].to_numpy(dtype=np.int64)
+        out_terms = uniq_terms[g["t"].to_numpy(dtype=np.int64)]
+        tf = g["tf"].to_numpy()
 
-    grp = tok.groupby(doc_cols, sort=False, dropna=False)
-    accepted = accept_mask(tok["token"], dictionary)
-    # pass-1 position counter advances only on accepted tokens
-    pos1 = accepted.groupby([tok[c] for c in doc_cols], sort=False).cumsum()
-    # pass-2 counter advances on every surviving token
-    pos2 = grp.cumcount() + 1
-
-    lower = tok["token"].str.lower()
-    pass1 = pd.DataFrame(
-        {**{c: tok[c][accepted] for c in doc_cols},
-         "term": lower[accepted],
-         "pos": pos1[accepted].astype("int64")}
-    )
-    pass2 = pd.DataFrame(
-        {**{c: tok[c] for c in doc_cols},
-         "term": stem_series(lower),
-         "pos": pos2.astype("int64")}
-    )
-    both = pd.concat([pass1, pass2], ignore_index=True)
-    both = both.drop_duplicates(subset=[*doc_cols, "term", "pos"])
-    tf = (
-        both.groupby([*doc_cols, "term"], sort=False, dropna=False)
-        .size()
-        .rename("tf")
-        .reset_index()
-    )
-    tf["tf"] = tf["tf"].astype("int64")
-    return tf
+    base = pdf.reset_index(drop=True)[doc_cols]
+    out = base.iloc[out_rows].reset_index(drop=True)
+    out["term"] = out_terms
+    out["tf"] = tf.astype("int64")
+    return out
 
 
 def ntf_from_tf(tf_pdf: pd.DataFrame, doc_cols: list[str]) -> pd.DataFrame:

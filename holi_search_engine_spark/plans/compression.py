@@ -255,24 +255,31 @@ def build_block_index(
     doc_cols: list[str],
     buckets: int | None = None,
     partitions: int | None = None,
+    term_stream: DataFrame | None = None,
+    avgdl: float | None = None,
 ) -> None:
     """Build the compressed block index (``bucket=None`` → all buckets in
     one job, a list/int → only those, pruned to their term_tf partitions).
 
-    Plan shape: bucket-pruned parquet scan → shuffle-join ntf (doc-keyed)
-    → repartition by term → sortWithinPartitions(term, doc_key) →
-    mapInPandas block encoder → parquet partitioned by bucket.  No stage
-    materializes a whole posting list in memory; the sort is Spark's
-    spillable external sort.
+    Plan shape: bucket-pruned parquet scan (or, on a fresh fused build,
+    the in-memory persisted token stream via ``term_stream``) →
+    shuffle-join ntf (doc-keyed) → repartition by term →
+    sortWithinPartitions(term, doc_key) → mapInPandas block encoder →
+    parquet partitioned by bucket.  No stage materializes a whole posting
+    list in memory; the sort is Spark's spillable external sort.
     """
-    term_tf = spark.read.parquet(paths.term_tf)
+    if term_stream is not None:
+        term_tf = term_stream
+    else:
+        term_tf = spark.read.parquet(paths.term_tf)
     if bucket is not None:
         wanted = [bucket] if isinstance(bucket, int) else list(bucket)
         term_tf = term_tf.where(F.col("bucket").isin(wanted))
     doc_stats = spark.read.parquet(paths.doc_stats)
-    from .index_build import read_meta as _read_meta
+    if avgdl is None:
+        from .index_build import read_meta as _read_meta
 
-    avgdl = _read_meta(paths).get("avgdl") or 1.0
+        avgdl = _read_meta(paths).get("avgdl") or 1.0
     key = doc_key_expr(doc_cols)
     # bm25_norm = 1 − b + b·dl/avgdl, precomputed per doc (pinned knobs);
     # ntf and dl ride in one doc-keyed join (doc_stats), not two

@@ -274,14 +274,30 @@ def build_index(
         doc_stats.write.mode("overwrite").parquet(paths.doc_stats)
         sub["tokenize_doc_stats"] = time.time() - t0
         t1 = time.time()
+        avgdl = (
+            spark.read.parquet(paths.doc_stats).agg(F.avg("dl")).collect()[0][0]
+            or 0.0
+        )
+        sub["avgdl"] = time.time() - t1
+        t1 = time.time()
 
-        # The remaining stage-A jobs are independent; submit them from two
-        # threads so the small fixed-cost jobs (avgdl, corpus count,
-        # doc_meta) overlap the big bucket-partitioned write instead of
-        # serializing after it — Spark's scheduler interleaves concurrent
-        # jobs, and at 1000-executor scale this is exactly "don't leave the
-        # cluster idle between driver-side job submissions".
+        # The remaining jobs are independent given doc_stats; submit them
+        # concurrently so the small fixed-cost jobs (corpus count,
+        # doc_meta) AND the block-index build overlap the big
+        # bucket-partitioned write instead of serializing after it —
+        # Spark's scheduler interleaves concurrent jobs, and at
+        # 1000-executor scale this is exactly "don't leave the cluster
+        # idle between driver-side job submissions".  The block build
+        # reads the persisted token stream directly (no parquet
+        # round-trip); the term_tf write is the resume checkpoint.
         from concurrent.futures import ThreadPoolExecutor
+
+        bucketed = term_raw.withColumn(
+            "bucket", F.pmod(F.xxhash64("term"), F.lit(buckets)).cast("int")
+        )
+        fuse_blocks = build_blocks and not any(
+            resume and _manifest_done(paths, "blocks", b) for b in range(buckets)
+        )
 
         def big_write() -> None:
             # shuffle-free bucket-partitioned write: each task splits its
@@ -290,34 +306,49 @@ def build_index(
             # by bucket here would pay a full shuffle of the largest
             # intermediate for nothing; bucket dirs exist purely for
             # resume-time partition pruning)
-            (
-                term_raw.withColumn(
-                    "bucket", F.pmod(F.xxhash64("term"), F.lit(buckets)).cast("int")
-                )
-                .write.mode("overwrite")
-                .partitionBy("bucket")
-                .parquet(paths.term_tf)
+            bucketed.write.mode("overwrite").partitionBy("bucket").parquet(
+                paths.term_tf
             )
 
-        def small_jobs() -> tuple[float, int]:
-            avgdl_ = (
-                spark.read.parquet(paths.doc_stats).agg(F.avg("dl")).collect()[0][0]
-                or 0.0
-            )
+        def small_jobs() -> int:
             # (conv_id, turn_idx) is the primary key: one doc per turn — no
             # distinct() pass over the corpus needed
             n_turns_ = transcripts.count()
             build_doc_meta(transcripts, doc_cols, text_col).write.mode(
                 "overwrite"
             ).parquet(paths.doc_meta)
-            return avgdl_, n_turns_
+            return n_turns_
 
-        with ThreadPoolExecutor(max_workers=2) as pool:
+        def blocks_job() -> None:
+            from .compression import build_block_index
+
+            build_block_index(
+                spark,
+                paths,
+                bucket=None,
+                doc_cols=doc_cols,
+                buckets=buckets,
+                term_stream=bucketed,
+                avgdl=float(avgdl),
+            )
+
+        with ThreadPoolExecutor(max_workers=3) as pool:
             f_big = pool.submit(big_write)
             f_small = pool.submit(small_jobs)
-            avgdl, n_turns = f_small.result()
+            f_blocks = pool.submit(blocks_job) if fuse_blocks else None
+            n_turns = f_small.result()
             f_big.result()
-        sub["term_tf_write_and_small"] = time.time() - t1
+            if f_blocks is not None:
+                f_blocks.result()
+        sub["write_meta_blocks_concurrent"] = time.time() - t1
+        if fuse_blocks:
+            for b in range(buckets):
+                _manifest_write(
+                    paths,
+                    "blocks",
+                    {"bucket": b, "wall_sec": sub["write_meta_blocks_concurrent"] / buckets},
+                    bucket=b,
+                )
         n_docs = n_turns
         n_idf = n_for_idf if n_for_idf is not None else n_docs
         term_raw.unpersist()

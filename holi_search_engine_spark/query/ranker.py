@@ -163,35 +163,47 @@ class RankerEngine:
         Returns columns: doc_key, occurrence, plus one tf column per term
         (NaN where unmatched or Q5-dropped).
         """
-        frames = []
+        key_arrays: list[np.ndarray] = []
+        tf_arrays: list[np.ndarray] = []
+        orders: list[int] = []
+        terms_present: list[str] = []
         for order, term in enumerate(java_hashset_order(lookup_terms)):
             keys, tfs = self._term_postings(term)
             if len(keys) == 0:
                 continue
-            frames.append(
-                pd.DataFrame(
-                    {
-                        "doc_key": keys.astype(np.int64),
-                        "term": term,
-                        "tf": tfs.astype(np.float64),
-                        "order": order,
-                    }
-                )
-            )
-        if not frames:
+            key_arrays.append(keys.astype(np.int64))
+            tf_arrays.append(tfs.astype(np.float64))
+            orders.append(order)
+            terms_present.append(term)
+        if not key_arrays:
             return pd.DataFrame(columns=["doc_key", "occurrence"])
-        cand = pd.concat(frames, ignore_index=True)
-        grp = cand.groupby("doc_key", sort=False)
-        occ = grp.size().rename("occurrence")
-        first_order = grp["order"].min().rename("first_order")
-        # Q5: the earliest term (HashSet order) to hit a doc drops its tf
-        cand = cand.merge(first_order, on="doc_key")
-        cand = cand[cand["order"] > cand["first_order"]]
-        tf_wide = cand.pivot_table(
-            index="doc_key", columns="term", values="tf", aggfunc="first"
-        )
-        out = occ.to_frame().join(tf_wide, how="left").reset_index()
-        return out
+        # pure-numpy union + per-term tf columns (a pandas groupby/pivot
+        # here dominated query latency; posting lists are already doc-keyed
+        # numpy arrays, so the accumulator is array math)
+        lens = [len(k) for k in key_arrays]
+        uniq, inv = np.unique(np.concatenate(key_arrays), return_inverse=True)
+        occ = np.bincount(inv, minlength=len(uniq))
+        # first_order[d] = order of the first (HashSet-order) term hitting d
+        first = np.full(len(uniq), -1, dtype=np.int64)
+        off = 0
+        for n, o in zip(lens, orders):
+            idx = inv[off : off + n]
+            unseen = first[idx] == -1
+            first[idx[unseen]] = o
+            off += n
+        out: dict[str, np.ndarray] = {
+            "doc_key": uniq.astype(np.int64),
+            "occurrence": occ,
+        }
+        off = 0
+        for term, n, o, tfs in zip(terms_present, lens, orders, tf_arrays):
+            col = np.full(len(uniq), np.nan)
+            col[inv[off : off + n]] = tfs
+            # Q5: the earliest term (HashSet order) to hit a doc drops its tf
+            col[first == o] = np.nan
+            out[term] = col
+            off += n
+        return pd.DataFrame(out)
 
     def search(self, query: str, limit: int | None = None) -> pd.DataFrame:
         """Full ranked results (reference steps 1-11); ``limit`` truncates
