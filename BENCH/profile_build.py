@@ -29,7 +29,7 @@ t_start = time.time()
 corpus = generate_transcripts_df(spark, {convs}).cache()
 n_turns = corpus.count()
 t_gen = time.time() - t_start
-out = "/tmp/holi_profile_idx_{cpus}"
+out = "/dev/shm/holi_profile_idx_{cpus}"
 shutil.rmtree(out, ignore_errors=True)
 t0 = time.time()
 paths = build_index(spark, corpus, out, frozenset(make_vocabulary()), buckets=8,

@@ -50,7 +50,7 @@ def main() -> None:
     # ---- index build over the transcripts corpus (the north metric)
     corpus = generate_transcripts_df(spark, BENCH_CONVS).cache()
     n_turns = corpus.count()  # materialize cache so build timing excludes gen
-    idx_dir = "/tmp/holi_bench_index"
+    idx_dir = os.environ.get("BENCH_IDX_DIR", "/dev/shm/holi_bench_index")
     shutil.rmtree(idx_dir, ignore_errors=True)
     t0 = time.time()
     paths = build_index(

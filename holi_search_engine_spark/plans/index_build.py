@@ -246,6 +246,39 @@ def build_index(
     paths = IndexPaths(out_dir)
     os.makedirs(out_dir, exist_ok=True)
 
+    # AQE's stage-coordination loop inserts multi-second idle gaps between
+    # the build's (fixed-shape, explicitly-partitioned) jobs — measured ~5s
+    # of zero-CPU per write under concurrent job submission.  The build
+    # handles skew itself (salted aggregation, streamed block encode), so
+    # AQE buys nothing here; restore the caller's setting afterwards.
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        return _build_index_inner(
+            spark, transcripts, paths, dictionary, doc_cols, text_col,
+            buckets, salt, n_for_idf, build_blocks, build_postings_table,
+            resume,
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+
+
+def _build_index_inner(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    paths: IndexPaths,
+    dictionary: frozenset[str],
+    doc_cols: list[str],
+    text_col: str,
+    buckets: int,
+    salt: int,
+    n_for_idf: int | None,
+    build_blocks: bool,
+    build_postings_table: bool,
+    resume: bool,
+) -> IndexPaths:
+    out_dir = paths.root
+
     # ---- stage A: tokenize ONCE (persisted pre-shuffle), then:
     # - doc-local stats (ntf, dl) aggregate BEFORE the bucket shuffle, so
     #   map-side partial aggregation collapses each doc inside its single
@@ -254,15 +287,15 @@ def build_index(
     # - doc_meta / avgdl / corpus count run concurrently with it;
     # - wmetric (term df/idf) is derived later from index metadata.
     if not (resume and _manifest_done(paths, "stage_a")):
-        from pyspark import StorageLevel
-
         t0 = time.time()
         sub: dict[str, float] = {}
         term_raw = tokenize_terms(transcripts, dictionary, doc_cols, text_col)
-        # At sandbox scale the token stream fits in memory; on a cluster set
-        # spark.storage.level semantics accordingly (DISK_ONLY still beats
-        # re-tokenizing 3x — tokenize is the CPU-dominant stage).
-        term_raw = term_raw.persist(StorageLevel.MEMORY_AND_DISK)
+        # NOT persisted: the unique-token tokenizer is cheap enough that
+        # re-running it per consumer (doc_stats, term_tf write, blocks)
+        # beats building/reading a multi-GB columnar cache of the token
+        # stream — cache-build serialization was the build's worst-scaling
+        # component.  (For corpora where tokenize dominates — much longer
+        # documents — persist(term_raw) here and the rest is unchanged.)
 
         doc_stats = (
             term_raw.groupBy(*doc_cols)
@@ -351,7 +384,6 @@ def build_index(
                 )
         n_docs = n_turns
         n_idf = n_for_idf if n_for_idf is not None else n_docs
-        term_raw.unpersist()
         wall = time.time() - t0
         with open(paths.meta_json, "w") as f:
             json.dump(
