@@ -42,6 +42,22 @@ def bm25_idf(n_docs: int, df: int) -> float:
     return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
 
 
+class _NormLookup:
+    """doc_key → BM25 length norm via sorted-array binary search (a pandas
+    reindex here costs ~1µs/key in hash lookups; searchsorted is ~20ns)."""
+
+    __slots__ = ("keys", "vals")
+
+    def __init__(self, keys: np.ndarray, vals: np.ndarray) -> None:
+        order = np.argsort(keys)
+        self.keys = keys[order]
+        self.vals = vals[order]
+
+    def __call__(self, want: np.ndarray) -> np.ndarray:
+        idx = np.searchsorted(self.keys, want)
+        return self.vals[np.minimum(idx, len(self.vals) - 1)]
+
+
 class _Cursor:
     """Posting cursor over one term's block list; decodes lazily per block."""
 
@@ -50,7 +66,7 @@ class _Cursor:
         "weight", "dl_norm", "n_blocks", "bi", "keys", "scores", "pos",
     )
 
-    def __init__(self, blocks: pd.DataFrame, weight: float, dl_norm: pd.Series) -> None:
+    def __init__(self, blocks: pd.DataFrame, weight: float, dl_norm: "_NormLookup") -> None:
         self.key_max_arr = blocks["key_max"].to_numpy(dtype=np.int64)
         self.ub_arr = blocks["ub_bm25"].to_numpy(dtype=np.float64)
         # suffix max: ub valid for ALL docs at or after block i
@@ -72,7 +88,7 @@ class _Cursor:
         keys, tfs = decode_block(self.doc_bytes[bi], self.tf_bytes[bi])
         self.keys = keys.astype(np.int64)
         tf = tfs.astype(np.float64)
-        norm = self.dl_norm.reindex(self.keys).to_numpy(dtype=np.float64)
+        norm = self.dl_norm(self.keys)
         self.scores = self.weight * tf * (BM25_K1 + 1.0) / (tf + BM25_K1 * norm)
         self.pos = 0
 
@@ -146,11 +162,14 @@ class BM25Engine:
             .select(key.alias("doc_key"), "dl")
             .toPandas()
         )
-        self._dl_norm = pd.Series(
+        self._dl_norm = _NormLookup(
+            dl["doc_key"].to_numpy(dtype=np.int64),
             1.0 - BM25_B + BM25_B * dl["dl"].to_numpy(dtype=np.float64) / self.avgdl,
-            index=dl["doc_key"].to_numpy(dtype=np.int64),
         )
         self.blocks_decoded = 0  # instrumentation for skip-rate tests
+        self._score_cache: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+
+    SCORE_CACHE_TERMS = 64
 
     def _tokenize(self, query: str) -> list[str]:
         words = _RE_PUNCT.sub(" ", query).strip().lower().split()
@@ -166,26 +185,65 @@ class BM25Engine:
         return bm25_idf(self.n_docs, self._df.get(term, 0))
 
     def search_bruteforce(self, query: str, k: int = 10) -> pd.DataFrame:
-        """Exhaustive scoring of every posting — the correctness oracle."""
-        acc: dict[int, float] = {}
+        """Exhaustive vectorized term-at-a-time scoring — exact, and faster
+        than WAND when the query's posting mass is dense (stopword-heavy
+        queries score nearly every document, so skipping buys nothing and
+        the per-pivot loop loses to array math)."""
+        key_parts: list[np.ndarray] = []
+        score_parts: list[np.ndarray] = []
         for t in self._tokenize(query):
-            g = self._blocks.get(t)
-            if g is None:
+            if t not in self._blocks:
                 continue
-            w = self._weight(t)
-            for db, tb in zip(g["doc_bytes"], g["tf_bytes"]):
-                keys, tfs = decode_block(db, tb)
-                keys = keys.astype(np.int64)
-                tf = tfs.astype(np.float64)
-                norm = self._dl_norm.reindex(keys).to_numpy(dtype=np.float64)
-                sc = w * tf * (BM25_K1 + 1.0) / (tf + BM25_K1 * norm)
-                for d, s in zip(keys.tolist(), sc.tolist()):
-                    acc[d] = acc.get(d, 0.0) + s
-        top = heapq.nsmallest(k, acc.items(), key=lambda kv: (-kv[1], kv[0]))
-        return self._to_frame(top)
+            keys, scores = self._term_scores(t)
+            key_parts.append(keys)
+            score_parts.append(scores)
+        if not key_parts:
+            return self._to_frame([])
+        uniq, inv = np.unique(np.concatenate(key_parts), return_inverse=True)
+        acc = np.bincount(inv, weights=np.concatenate(score_parts))
+        if len(acc) > k:
+            thr = np.partition(acc, len(acc) - k)[len(acc) - k]
+            cand = np.flatnonzero(acc >= thr)  # ≥ keeps score ties for the
+        else:  # doc-asc tie-break below
+            cand = np.arange(len(acc))
+        order = cand[np.lexsort((uniq[cand], -acc[cand]))][:k]
+        return self._to_frame([(int(uniq[i]), float(acc[i])) for i in order])
+
+    def _term_scores(self, term: str) -> tuple[np.ndarray, np.ndarray]:
+        """Decoded (doc_keys, bm25_scores) for one term; small LRU since
+        Zipf-head terms recur across queries and dominate decode cost."""
+        hit = self._score_cache.get(term)
+        if hit is not None:
+            self._score_cache[term] = self._score_cache.pop(term)  # refresh
+            return hit
+        g = self._blocks[term]
+        parts = [decode_block(d, b) for d, b in zip(g["doc_bytes"], g["tf_bytes"])]
+        keys = np.concatenate([p[0] for p in parts]).astype(np.int64)
+        tf = np.concatenate([p[1] for p in parts]).astype(np.float64)
+        norm = self._dl_norm(keys)
+        w = self._weight(term)
+        scores = w * tf * (BM25_K1 + 1.0) / (tf + BM25_K1 * norm)
+        if len(self._score_cache) >= self.SCORE_CACHE_TERMS:
+            self._score_cache.pop(next(iter(self._score_cache)))
+        self._score_cache[term] = (keys, scores)
+        return keys, scores
+
+    # Above this many total postings across the query's terms, the
+    # vectorized exhaustive path beats the per-pivot WAND loop: when the
+    # block-max bounds cannot prune (uniform score mass), WAND degenerates
+    # to per-document Python over the posting union (~8µs/doc) while the
+    # numpy path costs ~50ns/posting — the crossover is a few thousand.
+    TAAT_THRESHOLD = 5_000
 
     def search(self, query: str, k: int = 10) -> pd.DataFrame:
-        """Block-max WAND: exact top-k with block-granular skipping."""
+        """Exact BM25 top-k: block-max WAND with block-granular skipping,
+        switching to the vectorized exhaustive path for dense queries
+        (both are exact with the same doc-asc tie-break)."""
+        total = sum(
+            self._df.get(t, 0) for t in self._tokenize(query) if t in self._blocks
+        )
+        if total > self.TAAT_THRESHOLD:
+            return self.search_bruteforce(query, k)
         cursors = [
             _Cursor(self._blocks[t], self._weight(t), self._dl_norm)
             for t in self._tokenize(query)
