@@ -108,10 +108,16 @@ def tokenize_batch(
     dictionary: frozenset[str],
     doc_cols: list[str],
     text_col: str = "text",
+    with_stats: bool = False,
 ) -> pd.DataFrame:
     """Full two-pass tokenization of a batch of documents.
 
     Returns one row per (doc, term) with its tf (position-union size).
+    With ``with_stats`` the per-doc aggregates ride along on every row —
+    ``ntf`` (quirk Q1: (Σtf²)^¼), ``dl`` (Σtf) and ``fd`` (1 on the doc's
+    first row, for exact doc counting via ``Observation``) — computed here
+    because a doc never spans Arrow batches, which is what lets the index
+    build run a SINGLE tokenize pass with no doc-stats join downstream.
 
     All per-token work is numpy array math: after ``explode`` each doc's
     tokens are one contiguous run, so the two reference position counters
@@ -122,8 +128,9 @@ def tokenize_batch(
     """
     from .stemmer import stem_word
 
-    empty = pd.DataFrame(columns=[*doc_cols, "term", "tf"]).astype(
-        {c: pdf[c].dtype for c in doc_cols} | {"term": object, "tf": "int64"}
+    stat_cols = {"ntf": "float64", "dl": "int64", "fd": "int8"} if with_stats else {}
+    empty = pd.DataFrame(columns=[*doc_cols, "term", "tf", *stat_cols]).astype(
+        {c: pdf[c].dtype for c in doc_cols} | {"term": object, "tf": "int64"} | stat_cols
     )
     cleaned = clean_text(pdf.reset_index(drop=True)[text_col])
     tok = cleaned.str.split().explode()  # index = original batch row (doc)
@@ -191,6 +198,19 @@ def tokenize_batch(
     out = base.iloc[out_rows].reset_index(drop=True)
     out["term"] = out_terms
     out["tf"] = tf.astype("int64")
+    if with_stats:
+        # rows are sorted by doc (out_rows ascending), so each doc is one
+        # contiguous run: per-doc aggregates are reduceat over run starts
+        n_o = len(out_rows)
+        start = np.empty(n_o, dtype=bool)
+        start[0] = True
+        start[1:] = out_rows[1:] != out_rows[:-1]
+        ds = np.flatnonzero(start)
+        gid = np.cumsum(start) - 1
+        tf64 = tf.astype(np.float64)
+        out["ntf"] = np.sqrt(np.sqrt(np.add.reduceat(tf64 * tf64, ds)))[gid]
+        out["dl"] = np.add.reduceat(tf.astype(np.int64), ds)[gid]
+        out["fd"] = start.astype("int8")
     return out
 
 

@@ -198,6 +198,86 @@ def dedup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SHINGLE_DF_CAP = 10  # pair-generation prune: ignore shingles in > CAP docs
+JACCARD_MIN = 0.5
+
+
+@q(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH {_SHINGLES_SQL},
+    rare AS (
+      SELECT shingle FROM shingles GROUP BY shingle
+      HAVING count(*) BETWEEN 2 AND {SHINGLE_DF_CAP}
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM shingles a JOIN rare r ON a.shingle = r.shingle
+      JOIN shingles b ON b.shingle = a.shingle AND a.doc_id < b.doc_id
+    ),
+    inter AS (
+      SELECT p.doc_a, p.doc_b, count(*) AS inter_size
+      FROM pairs p JOIN shingles sa ON sa.doc_id = p.doc_a
+      WHERE EXISTS (SELECT 1 FROM shingles sb
+                    WHERE sb.doc_id = p.doc_b AND sb.shingle = sa.shingle)
+      GROUP BY p.doc_a, p.doc_b
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id)
+    SELECT i.doc_a, i.doc_b,
+           round(i.inter_size::DOUBLE
+                 / (sa.sz + sb.sz - i.inter_size), 6) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE i.inter_size::DOUBLE / (sa.sz + sb.sz - i.inter_size) >= {JACCARD_MIN}
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram-Jaccard near-dup pairs via inverted-index pair
+    generation: candidate pairs share a *rare* shingle (df ≤ 10 — the
+    standard frequency-cap prune that keeps the self-join linear-ish at
+    corpus scale; a head shingle shared by k docs would otherwise emit
+    k² pairs), then exact Jaccard over FULL shingle sets, thresholded.
+    The deterministic counterpart of the probabilistic ``dedup_lsh_pairs``.
+    """
+    sh = _shingles(spark, sf_dir)
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("sdf"))
+        .where((F.col("sdf") >= 2) & (F.col("sdf") <= SHINGLE_DF_CAP))
+        .select("shingle")
+    )
+    sh_rare = sh.join(rare, "shingle", "left_semi")
+    pairs = (
+        sh_rare.alias("a")
+        .join(
+            sh_rare.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sh_a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sh_b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        pairs.join(sh_a, "doc_a")
+        .join(sh_b, ["doc_b", "shingle"], "left_semi")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter_size"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    jac = F.col("inter_size").cast("double") / (
+        F.col("size_a") + F.col("size_b") - F.col("inter_size")
+    )
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("size_a")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("size_b")), "doc_b")
+        .where(jac >= JACCARD_MIN)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
 @q(
     "dedup_simhash",
     f"""

@@ -275,20 +275,24 @@ def build_block_index(
     if bucket is not None:
         wanted = [bucket] if isinstance(bucket, int) else list(bucket)
         term_tf = term_tf.where(F.col("bucket").isin(wanted))
-    doc_stats = spark.read.parquet(paths.doc_stats)
     if avgdl is None:
         from .index_build import read_meta as _read_meta
 
         avgdl = _read_meta(paths).get("avgdl") or 1.0
     key = doc_key_expr(doc_cols)
-    # bm25_norm = 1 − b + b·dl/avgdl, precomputed per doc (pinned knobs);
-    # ntf and dl ride in one doc-keyed join (doc_stats), not two
+    # bm25_norm = 1 − b + b·dl/avgdl, precomputed per doc (pinned knobs)
     norm = (
         F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("dl").cast("double") / F.lit(avgdl)
     ).alias("bm25_norm")
-    joined = term_tf.join(doc_stats, on=doc_cols).select(
-        "term", key.alias("doc_key"), "tf", "ntf", norm
-    )
+    if {"ntf", "dl"} <= set(term_tf.columns):
+        # per-doc stats ride on the token stream (tokenize emits them) —
+        # no doc-keyed join, the term repartition is the ONLY shuffle
+        joined = term_tf.select("term", key.alias("doc_key"), "tf", "ntf", norm)
+    else:
+        doc_stats = spark.read.parquet(paths.doc_stats)
+        joined = term_tf.join(doc_stats, on=doc_cols).select(
+            "term", key.alias("doc_key"), "tf", "ntf", norm
+        )
     parts = partitions or max(2, spark.sparkContext.defaultParallelism)
     sorted_stream = joined.repartition(parts, "term").sortWithinPartitions(
         "term", "doc_key"

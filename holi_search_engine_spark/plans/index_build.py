@@ -11,13 +11,17 @@ shuffle; we add what Spark does not give us (SURVEY.md §4): head-term skew
 salting for the posting aggregation and per-bucket resumable orchestration.
 
 Scale design (100 TB / 10^12 turns):
-- one pass over the corpus tokenizes via ``mapInPandas`` (Arrow batches,
-  vectorized pandas inside — no per-row Python);
-- the (term, doc, tf) stream is written partitioned by ``bucket =
+- ONE pass over the corpus tokenizes via ``mapInPandas`` (Arrow batches,
+  vectorized pandas inside — no per-row Python); the kernel emits each
+  doc's ntf/dl inline (a doc never spans a batch), so no downstream stage
+  ever joins back to a doc-stats table;
+- the (term, doc, tf, ntf, dl) stream is written partitioned by ``bucket =
   pmod(xxhash64(term), B)`` so every downstream job is partition-pruned
-  per bucket and the build is resumable at bucket granularity;
-- ntf / df / idf are pure JVM aggregations (whole-stage codegen, map-side
-  partial agg);
+  per bucket and the build is resumable at bucket granularity; corpus
+  globals (avgdl, doc count) are observed during that write, zero extra
+  passes;
+- doc_stats / df / idf are pure JVM aggregations over the columnar stream
+  (whole-stage codegen, map-side partial agg);
 - posting-list aggregation is two-phase with a salt on the doc key:
   ``groupBy(term, salt)`` builds doc-ordered runs, ``groupBy(term)``
   concatenates+re-sorts the ≤S runs — the hot stopword-like terms
@@ -48,12 +52,16 @@ def tokenize_terms(
     dictionary: frozenset[str],
     doc_cols: list[str] | None = None,
     text_col: str = "text",
+    with_stats: bool = False,
 ) -> DataFrame:
     """Corpus → one row per (doc, term) with tf.
 
     Vectorized two-pass tokenization (quirks Q6/Q7) runs per Arrow batch in
     ``mapInPandas``; the dictionary is shipped once per executor via a Spark
-    broadcast, not per task.
+    broadcast, not per task.  ``with_stats`` adds the per-doc columns
+    ``ntf``/``dl``/``fd`` (computed batch-locally — a doc never spans
+    batches), which is what lets the build tokenize ONCE and skip any
+    doc-stats join downstream.
     """
     doc_cols = doc_cols or DOC_COLS
     spark = df.sparkSession
@@ -62,6 +70,8 @@ def tokenize_terms(
     src_schema = dict(zip(df.schema.names, [f.dataType.simpleString() for f in df.schema.fields]))
     doc_schema = ", ".join(f"{c} {src_schema[c]}" for c in doc_cols)
     out_schema = f"{doc_schema}, term string, tf int"
+    if with_stats:
+        out_schema += ", ntf double, dl long, fd tinyint"
 
     def tok(batches):
         from ..functions.tokenizer import tokenize_batch
@@ -69,7 +79,7 @@ def tokenize_terms(
         d = bdict.value
         for pdf in batches:
             if len(pdf):
-                out = tokenize_batch(pdf, d, doc_cols, text_col)
+                out = tokenize_batch(pdf, d, doc_cols, text_col, with_stats=with_stats)
                 out["tf"] = out["tf"].astype("int32")
                 yield out
 
@@ -279,58 +289,31 @@ def _build_index_inner(
 ) -> IndexPaths:
     out_dir = paths.root
 
-    # ---- stage A: tokenize ONCE (persisted pre-shuffle), then:
-    # - doc-local stats (ntf, dl) aggregate BEFORE the bucket shuffle, so
-    #   map-side partial aggregation collapses each doc inside its single
-    #   input partition (~n_docs rows shuffled instead of ~n_postings);
-    # - the bucket-partitioned term stream is the only full-width write;
-    # - doc_meta / avgdl / corpus count run concurrently with it;
-    # - wmetric (term df/idf) is derived later from index metadata.
+    # ---- stage A: tokenize ONCE.  The tokenizer emits the per-doc stats
+    # inline (ntf/dl — a doc never spans an Arrow batch), so the single
+    # bucket-partitioned term_tf write carries everything downstream:
+    # doc_stats and the block index both derive from the columnar parquet
+    # (narrow column reads) and the block build needs NO doc-keyed join.
+    # Corpus-global avgdl is collected DURING the write via Observation
+    # (sum(tf) / exact non-empty-doc count via the fd flag) — zero extra
+    # jobs.  doc_meta + the corpus count overlap the write.
+    from concurrent.futures import ThreadPoolExecutor
+
     if not (resume and _manifest_done(paths, "stage_a")):
+        from pyspark.sql import Observation
+
         t0 = time.time()
         sub: dict[str, float] = {}
-        term_raw = tokenize_terms(transcripts, dictionary, doc_cols, text_col)
-        # NOT persisted: the unique-token tokenizer is cheap enough that
-        # re-running it per consumer (doc_stats, term_tf write, blocks)
-        # beats building/reading a multi-GB columnar cache of the token
-        # stream — cache-build serialization was the build's worst-scaling
-        # component.  (For corpora where tokenize dominates — much longer
-        # documents — persist(term_raw) here and the rest is unchanged.)
-
-        doc_stats = (
-            term_raw.groupBy(*doc_cols)
-            .agg(
-                F.pow(F.sum(F.col("tf").cast("double") * F.col("tf")), F.lit(0.25)).alias("ntf"),
-                F.sum("tf").cast("long").alias("dl"),
-            )
+        term_raw = tokenize_terms(
+            transcripts, dictionary, doc_cols, text_col, with_stats=True
         )
-        doc_stats.write.mode("overwrite").parquet(paths.doc_stats)
-        sub["tokenize_doc_stats"] = time.time() - t0
-        t1 = time.time()
-        avgdl = (
-            spark.read.parquet(paths.doc_stats).agg(F.avg("dl")).collect()[0][0]
-            or 0.0
-        )
-        sub["avgdl"] = time.time() - t1
-        t1 = time.time()
-
-        # The remaining jobs are independent given doc_stats; submit them
-        # concurrently so the small fixed-cost jobs (corpus count,
-        # doc_meta) AND the block-index build overlap the big
-        # bucket-partitioned write instead of serializing after it —
-        # Spark's scheduler interleaves concurrent jobs, and at
-        # 1000-executor scale this is exactly "don't leave the cluster
-        # idle between driver-side job submissions".  The block build
-        # reads the persisted token stream directly (no parquet
-        # round-trip); the term_tf write is the resume checkpoint.
-        from concurrent.futures import ThreadPoolExecutor
-
         bucketed = term_raw.withColumn(
             "bucket", F.pmod(F.xxhash64("term"), F.lit(buckets)).cast("int")
         )
-        fuse_blocks = build_blocks and not any(
-            resume and _manifest_done(paths, "blocks", b) for b in range(buckets)
-        )
+        obs = Observation("corpus_stats")
+        observed = bucketed.observe(
+            obs, F.sum("tf").alias("total_tf"), F.sum("fd").alias("n_docs_ne")
+        ).drop("fd")
 
         def big_write() -> None:
             # shuffle-free bucket-partitioned write: each task splits its
@@ -339,7 +322,7 @@ def _build_index_inner(
             # by bucket here would pay a full shuffle of the largest
             # intermediate for nothing; bucket dirs exist purely for
             # resume-time partition pruning)
-            bucketed.write.mode("overwrite").partitionBy("bucket").parquet(
+            observed.write.mode("overwrite").partitionBy("bucket").parquet(
                 paths.term_tf
             )
 
@@ -352,36 +335,14 @@ def _build_index_inner(
             ).parquet(paths.doc_meta)
             return n_turns_
 
-        def blocks_job() -> None:
-            from .compression import build_block_index
-
-            build_block_index(
-                spark,
-                paths,
-                bucket=None,
-                doc_cols=doc_cols,
-                buckets=buckets,
-                term_stream=bucketed,
-                avgdl=float(avgdl),
-            )
-
-        with ThreadPoolExecutor(max_workers=3) as pool:
+        with ThreadPoolExecutor(max_workers=2) as pool:
             f_big = pool.submit(big_write)
             f_small = pool.submit(small_jobs)
-            f_blocks = pool.submit(blocks_job) if fuse_blocks else None
             n_turns = f_small.result()
             f_big.result()
-            if f_blocks is not None:
-                f_blocks.result()
-        sub["write_meta_blocks_concurrent"] = time.time() - t1
-        if fuse_blocks:
-            for b in range(buckets):
-                _manifest_write(
-                    paths,
-                    "blocks",
-                    {"bucket": b, "wall_sec": sub["write_meta_blocks_concurrent"] / buckets},
-                    bucket=b,
-                )
+        m = obs.get
+        avgdl = float(m["total_tf"] or 0) / max(int(m["n_docs_ne"] or 0), 1)
+        sub["term_tf_write_meta"] = time.time() - t0
         n_docs = n_turns
         n_idf = n_for_idf if n_for_idf is not None else n_docs
         wall = time.time() - t0
@@ -408,6 +369,55 @@ def _build_index_inner(
                 "sub_walls": {k: round(v, 2) for k, v in sub.items()},
             },
         )
+
+    # ---- doc_stats (the ranker's per-doc ntf/dl lookup) and the block
+    # index are independent readers of term_tf — run them concurrently.
+    need_doc_stats = not (resume and _manifest_done(paths, "doc_stats"))
+    blocks_remaining = (
+        [b for b in range(buckets) if not (resume and _manifest_done(paths, "blocks", b))]
+        if build_blocks
+        else []
+    )
+
+    def doc_stats_job() -> None:
+        t = time.time()
+        (
+            spark.read.parquet(paths.term_tf)
+            .select(*doc_cols, "ntf", "dl")
+            .groupBy(*doc_cols)
+            .agg(F.first("ntf").alias("ntf"), F.first("dl").alias("dl"))
+            .write.mode("overwrite")
+            .parquet(paths.doc_stats)
+        )
+        _manifest_write(paths, "doc_stats", {"wall_sec": time.time() - t})
+
+    def blocks_job() -> None:
+        from .compression import build_block_index
+
+        t = time.time()
+        build_block_index(
+            spark,
+            paths,
+            bucket=None if len(blocks_remaining) == buckets else blocks_remaining,
+            doc_cols=doc_cols,
+            buckets=buckets,
+        )
+        wall = time.time() - t
+        for b in blocks_remaining:
+            _manifest_write(
+                paths,
+                "blocks",
+                {"bucket": b, "wall_sec": wall / len(blocks_remaining)},
+                bucket=b,
+            )
+
+    stage2 = ([doc_stats_job] if need_doc_stats else []) + (
+        [blocks_job] if blocks_remaining else []
+    )
+    if stage2:
+        with ThreadPoolExecutor(max_workers=len(stage2)) as pool:
+            for f in [pool.submit(j) for j in stage2]:
+                f.result()
 
     # ---- stage B: posting lists, resumable at bucket granularity.
     # Fresh build → ONE job across all buckets (write partitioned by
@@ -460,30 +470,6 @@ def _build_index_inner(
                 },
                 bucket=b,
             )
-
-    if build_blocks:
-        from .compression import build_block_index
-
-        remaining = [
-            b for b in range(buckets) if not (resume and _manifest_done(paths, "blocks", b))
-        ]
-        if remaining:
-            t0 = time.time()
-            build_block_index(
-                spark,
-                paths,
-                bucket=None if len(remaining) == buckets else remaining,
-                doc_cols=doc_cols,
-                buckets=buckets,
-            )
-            wall = time.time() - t0
-            for b in remaining:
-                _manifest_write(
-                    paths,
-                    "blocks",
-                    {"bucket": b, "wall_sec": wall / len(remaining)},
-                    bucket=b,
-                )
 
     # ---- wmetric (df/idf, quirk Q3): derived from index METADATA, not by
     # re-aggregating the full token stream — df per term is sum(n) over its

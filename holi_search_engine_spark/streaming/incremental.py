@@ -62,8 +62,10 @@ def stream_transcript_deltas(
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch_df = batch_df.cache()
-        term_tf = tokenize_terms(batch_df, dictionary).cache()
-        bucketed = term_tf.withColumn(
+        # with_stats keeps the delta's schema identical to the batch build's
+        # term_tf (ntf/dl ride along; fd dropped before the write)
+        term_tf = tokenize_terms(batch_df, dictionary, with_stats=True).cache()
+        bucketed = term_tf.drop("fd").withColumn(
             "bucket", F.pmod(F.xxhash64("term"), F.lit(buckets)).cast("int")
         )
         touched = [r["bucket"] for r in bucketed.select("bucket").distinct().collect()]
@@ -75,10 +77,11 @@ def stream_transcript_deltas(
         )
         # doc-local stats append cleanly (new (conv,turn) keys never
         # overlap already-indexed docs — the doc key is the table's PK)
-        doc_stats = term_tf.groupBy("conv_id", "turn_idx").agg(
-            F.pow(F.sum(F.col("tf").cast("double") * F.col("tf")), F.lit(0.25)).alias("ntf"),
-            F.sum("tf").cast("long").alias("dl"),
-        ).cache()
+        doc_stats = (
+            term_tf.where(F.col("fd") == 1)
+            .select("conv_id", "turn_idx", "ntf", "dl")
+            .cache()
+        )
         # paths.ntf / paths.doc_len are column views of doc_stats — one write
         doc_stats.write.mode("append").parquet(paths.doc_stats)
         doc_stats.unpersist()
