@@ -64,9 +64,16 @@ class _Cursor:
     __slots__ = (
         "key_max_arr", "ub_arr", "suffix_ub", "doc_bytes", "tf_bytes",
         "weight", "dl_norm", "n_blocks", "bi", "keys", "scores", "pos",
+        "decode_counter",
     )
 
-    def __init__(self, blocks: pd.DataFrame, weight: float, dl_norm: "_NormLookup") -> None:
+    def __init__(
+        self,
+        blocks: pd.DataFrame,
+        weight: float,
+        dl_norm: "_NormLookup",
+        decode_counter: list[int] | None = None,
+    ) -> None:
         self.key_max_arr = blocks["key_max"].to_numpy(dtype=np.int64)
         self.ub_arr = blocks["ub_bm25"].to_numpy(dtype=np.float64)
         # suffix max: ub valid for ALL docs at or after block i
@@ -80,11 +87,13 @@ class _Cursor:
         self.scores: np.ndarray | None = None
         self.pos = 0
         self.bi = self.n_blocks
+        self.decode_counter = decode_counter if decode_counter is not None else [0]
         if self.n_blocks:
             self._load_block(0)
 
     def _load_block(self, bi: int) -> None:
         self.bi = bi
+        self.decode_counter[0] += 1
         keys, tfs = decode_block(self.doc_bytes[bi], self.tf_bytes[bi])
         self.keys = keys.astype(np.int64)
         tf = tfs.astype(np.float64)
@@ -166,10 +175,23 @@ class BM25Engine:
             dl["doc_key"].to_numpy(dtype=np.int64),
             1.0 - BM25_B + BM25_B * dl["dl"].to_numpy(dtype=np.float64) / self.avgdl,
         )
-        self.blocks_decoded = 0  # instrumentation for skip-rate tests
+        # instrumentation for skip-rate tests: count of blocks actually
+        # decoded by WAND cursors (shared mutable cell, summed per search)
+        self._decode_counter: list[int] = [0]
         self._score_cache: dict[str, tuple[np.ndarray, np.ndarray]] = {}
 
     SCORE_CACHE_TERMS = 64
+
+    @property
+    def blocks_decoded(self) -> int:
+        return self._decode_counter[0]
+
+    def total_blocks(self, query: str) -> int:
+        """Number of index blocks the query's terms hold in total (the
+        decode count a skip-free scorer would pay)."""
+        return sum(
+            len(self._blocks[t]) for t in self._tokenize(query) if t in self._blocks
+        )
 
     def _tokenize(self, query: str) -> list[str]:
         words = _RE_PUNCT.sub(" ", query).strip().lower().split()
@@ -245,7 +267,7 @@ class BM25Engine:
         if total > self.TAAT_THRESHOLD:
             return self.search_bruteforce(query, k)
         cursors = [
-            _Cursor(self._blocks[t], self._weight(t), self._dl_norm)
+            _Cursor(self._blocks[t], self._weight(t), self._dl_norm, self._decode_counter)
             for t in self._tokenize(query)
             if t in self._blocks
         ]

@@ -49,6 +49,22 @@ def test_absent_term_empty(bm25):
     assert len(bm25.search("zzzznotaterm", 10)) == 0
 
 
+def test_wand_skips_blocks(bm25, vocabulary):
+    """Block-max skipping must decode strictly fewer blocks than a
+    skip-free scorer would for a hot+rare query at small k (the rare
+    term's high-idf docs raise θ past most hot-term block bounds)."""
+    q = f"{vocabulary[0]} {vocabulary[4000]}"  # hot + rare
+    if bm25.total_blocks(q) < 4:
+        pytest.skip("fixture too small for block skipping to be observable")
+    before = bm25.blocks_decoded
+    got = bm25.search(q, 1)
+    decoded = bm25.blocks_decoded - before
+    if decoded == 0:
+        pytest.skip("query routed to the dense TAAT path")
+    assert decoded <= bm25.total_blocks(q)
+    _assert_equal(got, bm25.search_bruteforce(q, 1), "skip query still exact")
+
+
 def test_scores_positive_and_sorted(bm25, vocabulary):
     got = bm25.search(f"{vocabulary[500]} {vocabulary[600]}", 20)
     s = got["score"].to_numpy()
