@@ -40,6 +40,28 @@ def doc_key_expr(doc_cols: list[str]):
     raise ValueError(f"no doc-key mapping for {doc_cols}")
 
 
+def doc_cols_from_key_exprs(doc_cols: list[str]):
+    """Inverse of :func:`doc_key_expr` as Catalyst expressions — lets hot
+    stages carry the 8-byte ``doc_key`` instead of the ~13-byte conv_id
+    string (the single widest column of the token stream; on a
+    bandwidth-bound host the narrower rows are a direct throughput win)
+    and reconstruct the user-facing columns only at the small table
+    boundaries."""
+    if doc_cols == ["conv_id", "turn_idx"]:
+        return [
+            F.format_string(
+                "conv-%08d", F.shiftright(F.col("doc_key"), TURN_BITS)
+            ).alias("conv_id"),
+            F.col("doc_key")
+            .bitwiseAND(F.lit((1 << TURN_BITS) - 1))
+            .cast("int")
+            .alias("turn_idx"),
+        ]
+    if len(doc_cols) == 1:
+        return [F.col("doc_key").alias(doc_cols[0])]
+    raise ValueError(f"no doc-key inverse for {doc_cols}")
+
+
 def doc_key_to_cols(keys: np.ndarray, doc_cols: list[str]) -> pd.DataFrame:
     """Inverse of :func:`doc_key_expr` for surfacing results."""
     if doc_cols == ["conv_id", "turn_idx"]:
@@ -279,7 +301,11 @@ def build_block_index(
         from .index_build import read_meta as _read_meta
 
         avgdl = _read_meta(paths).get("avgdl") or 1.0
-    key = doc_key_expr(doc_cols)
+    key = (
+        F.col("doc_key")
+        if "doc_key" in term_tf.columns
+        else doc_key_expr(doc_cols)
+    )
     # bm25_norm = 1 − b + b·dl/avgdl, precomputed per doc (pinned knobs)
     norm = (
         F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("dl").cast("double") / F.lit(avgdl)
@@ -293,7 +319,12 @@ def build_block_index(
         joined = term_tf.join(doc_stats, on=doc_cols).select(
             "term", key.alias("doc_key"), "tf", "ntf", norm
         )
-    parts = partitions or max(2, spark.sparkContext.defaultParallelism)
+    # 4 tasks per core: term-hash partitions are Zipf-skewed, so finer
+    # granularity lets the scheduler even out the tail (a partition that
+    # drew a head term finishes late; with 4× tasks the other cores keep
+    # pulling work instead of idling — the single-key agg analog of AQE's
+    # skew-join splitting, which does not cover this shape)
+    parts = partitions or max(8, 4 * spark.sparkContext.defaultParallelism)
     sorted_stream = joined.repartition(parts, "term").sortWithinPartitions(
         "term", "doc_key"
     )

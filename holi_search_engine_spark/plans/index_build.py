@@ -53,6 +53,7 @@ def tokenize_terms(
     doc_cols: list[str] | None = None,
     text_col: str = "text",
     with_stats: bool = False,
+    emit_doc_key: bool = False,
 ) -> DataFrame:
     """Corpus → one row per (doc, term) with tf.
 
@@ -61,25 +62,46 @@ def tokenize_terms(
     broadcast, not per task.  ``with_stats`` adds the per-doc columns
     ``ntf``/``dl``/``fd`` (computed batch-locally — a doc never spans
     batches), which is what lets the build tokenize ONCE and skip any
-    doc-stats join downstream.
+    doc-stats join downstream.  ``emit_doc_key`` replaces the doc columns
+    with the packed 8-byte ``doc_key`` right inside the kernel, so even
+    the Python→JVM Arrow transfer never carries the conv_id strings
+    (pandas mirror of ``compression.doc_key_expr`` — kept in lockstep).
     """
     doc_cols = doc_cols or DOC_COLS
+    if emit_doc_key and doc_cols != ["conv_id", "turn_idx"]:
+        raise ValueError(f"emit_doc_key unsupported for doc_cols={doc_cols}")
     spark = df.sparkSession
     bdict = spark.sparkContext.broadcast(dictionary)
 
     src_schema = dict(zip(df.schema.names, [f.dataType.simpleString() for f in df.schema.fields]))
-    doc_schema = ", ".join(f"{c} {src_schema[c]}" for c in doc_cols)
+    if emit_doc_key:
+        doc_schema = "doc_key long"
+    else:
+        doc_schema = ", ".join(f"{c} {src_schema[c]}" for c in doc_cols)
     out_schema = f"{doc_schema}, term string, tf int"
     if with_stats:
         out_schema += ", ntf double, dl long, fd tinyint"
 
     def tok(batches):
+        import numpy as np
+
         from ..functions.tokenizer import tokenize_batch
+        from .compression import TURN_BITS
 
         d = bdict.value
         for pdf in batches:
             if len(pdf):
-                out = tokenize_batch(pdf, d, doc_cols, text_col, with_stats=with_stats)
+                keys = None
+                if emit_doc_key:
+                    conv = (
+                        pdf["conv_id"].str.extract(r"(\d+)", expand=False).astype("int64")
+                    )
+                    keys = (conv.to_numpy() << TURN_BITS) | pdf["turn_idx"].to_numpy(
+                        dtype=np.int64
+                    )
+                out = tokenize_batch(
+                    pdf, d, doc_cols, text_col, with_stats=with_stats, doc_keys=keys
+                )
                 out["tf"] = out["tf"].astype("int32")
                 yield out
 
@@ -305,7 +327,16 @@ def _build_index_inner(
         t0 = time.time()
         sub: dict[str, float] = {}
         term_raw = tokenize_terms(
-            transcripts, dictionary, doc_cols, text_col, with_stats=True
+            transcripts,
+            dictionary,
+            doc_cols,
+            text_col,
+            with_stats=True,
+            # hot path carries the packed 8-byte doc key instead of the
+            # conv_id string — the widest column of the token stream; on a
+            # bandwidth-bound host/cluster this narrows every Arrow
+            # transfer, parquet file, and shuffle of ~n_postings rows
+            emit_doc_key=(doc_cols == DOC_COLS),
         )
         bucketed = term_raw.withColumn(
             "bucket", F.pmod(F.xxhash64("term"), F.lit(buckets)).cast("int")
@@ -380,15 +411,26 @@ def _build_index_inner(
     )
 
     def doc_stats_job() -> None:
+        from .compression import doc_cols_from_key_exprs
+
         t = time.time()
-        (
-            spark.read.parquet(paths.term_tf)
-            .select(*doc_cols, "ntf", "dl")
-            .groupBy(*doc_cols)
-            .agg(F.first("ntf").alias("ntf"), F.first("dl").alias("dl"))
-            .write.mode("overwrite")
-            .parquet(paths.doc_stats)
-        )
+        tf_r = spark.read.parquet(paths.term_tf)
+        if "doc_key" in tf_r.columns:
+            # aggregate on the narrow key; reconstruct the user-facing doc
+            # columns only on the ~n_docs output rows
+            stats = (
+                tf_r.select("doc_key", "ntf", "dl")
+                .groupBy("doc_key")
+                .agg(F.first("ntf").alias("ntf"), F.first("dl").alias("dl"))
+                .select(*doc_cols_from_key_exprs(doc_cols), "ntf", "dl", "doc_key")
+            )
+        else:
+            stats = (
+                tf_r.select(*doc_cols, "ntf", "dl")
+                .groupBy(*doc_cols)
+                .agg(F.first("ntf").alias("ntf"), F.first("dl").alias("dl"))
+            )
+        stats.write.mode("overwrite").parquet(paths.doc_stats)
         _manifest_write(paths, "doc_stats", {"wall_sec": time.time() - t})
 
     def blocks_job() -> None:
@@ -440,6 +482,14 @@ def _build_index_inner(
         term_tf_r = spark.read.parquet(paths.term_tf)
         if len(remaining) < buckets:
             term_tf_r = term_tf_r.where(F.col("bucket").isin(remaining))
+        if "doc_key" in term_tf_r.columns:
+            # reference-parity postings carry the user-facing doc columns;
+            # reconstruct them from the packed key (pure expressions)
+            from .compression import doc_cols_from_key_exprs
+
+            term_tf_r = term_tf_r.select(
+                *doc_cols_from_key_exprs(doc_cols), "term", "tf", "bucket"
+            )
         postings = build_postings(term_tf_r, doc_cols, salt, carry_cols=["bucket"])
         # dynamic overwrite: a partial resume must not wipe completed buckets
         (

@@ -61,10 +61,14 @@ def stream_transcript_deltas(
     )
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from ..plans.compression import doc_cols_from_key_exprs
+
         batch_df = batch_df.cache()
-        # with_stats keeps the delta's schema identical to the batch build's
-        # term_tf (ntf/dl ride along; fd dropped before the write)
-        term_tf = tokenize_terms(batch_df, dictionary, with_stats=True).cache()
+        # with_stats + emit_doc_key keep the delta's schema identical to
+        # the batch build's term_tf (doc_key-native; fd dropped pre-write)
+        term_tf = tokenize_terms(
+            batch_df, dictionary, with_stats=True, emit_doc_key=True
+        ).cache()
         bucketed = term_tf.drop("fd").withColumn(
             "bucket", F.pmod(F.xxhash64("term"), F.lit(buckets)).cast("int")
         )
@@ -79,7 +83,7 @@ def stream_transcript_deltas(
         # overlap already-indexed docs — the doc key is the table's PK)
         doc_stats = (
             term_tf.where(F.col("fd") == 1)
-            .select("conv_id", "turn_idx", "ntf", "dl")
+            .select(*doc_cols_from_key_exprs(["conv_id", "turn_idx"]), "ntf", "dl", "doc_key")
             .cache()
         )
         # paths.ntf / paths.doc_len are column views of doc_stats — one write
