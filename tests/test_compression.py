@@ -62,3 +62,29 @@ def test_compression_is_compact():
     db, tb = encode_block(keys, tfs)
     assert len(db) < 10_100  # first absolute key + 1 byte per gap
     assert len(tb) == 10_000
+
+
+def test_doc_key_exprs_roundtrip(spark):
+    """doc_key_expr ∘ doc_cols_from_key_exprs == identity on (conv_id,
+    turn_idx) — the hot path carries only the key, so the Catalyst inverse
+    must reconstruct the exact strings the tokenizer's pandas mirror saw."""
+    from pyspark.sql import functions as F
+
+    from holi_search_engine_spark.plans.compression import (
+        doc_cols_from_key_exprs,
+        doc_key_expr,
+    )
+
+    src = spark.createDataFrame(
+        [(f"conv-{i:08d}", t) for i in (0, 7, 12345, 99999999) for t in (0, 1, 11)],
+        "conv_id string, turn_idx int",
+    )
+    key = doc_key_expr(["conv_id", "turn_idx"])
+    back = (
+        src.select(key.alias("doc_key"), F.col("conv_id").alias("c0"), F.col("turn_idx").alias("t0"))
+        .select("c0", "t0", *doc_cols_from_key_exprs(["conv_id", "turn_idx"]))
+        .collect()
+    )
+    for r in back:
+        assert r["conv_id"] == r["c0"], r
+        assert r["turn_idx"] == r["t0"], r
