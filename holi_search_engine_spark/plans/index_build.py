@@ -283,7 +283,14 @@ def build_index(
     # of zero-CPU per write under concurrent job submission.  The build
     # handles skew itself (salted aggregation, streamed block encode), so
     # AQE buys nothing here; restore the caller's setting afterwards.
-    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    prev = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.adaptive.enabled",
+            "spark.sql.files.maxPartitionBytes",
+            "spark.sql.files.openCostInBytes",
+        )
+    }
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         return _build_index_inner(
@@ -292,7 +299,11 @@ def build_index(
             resume,
         )
     finally:
-        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
 
 
 def _build_index_inner(
@@ -400,6 +411,24 @@ def _build_index_inner(
                 "sub_walls": {k: round(v, 2) for k, v in sub.items()},
             },
         )
+
+    # ---- size input splits to the actual parallelism before any term_tf
+    # read: the default 128MB packing (+4MB per-file open cost) can
+    # collapse a few-hundred-MB bucket-partitioned table into fewer splits
+    # than cores — observed: a 330MB term_tf scanned as ~5 splits, starving
+    # 8-of-8 (and 27-of-32) cores in the scan stages.  Files on tmpfs /
+    # object storage are cheap to open, so split by bytes/(2·cores) and
+    # drop the open-cost padding; restored in build_index's finally.
+    tf_bytes_total = sum(
+        os.path.getsize(os.path.join(r, f))
+        for r, _, fs in os.walk(paths.term_tf)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    par = max(spark.sparkContext.defaultParallelism, 1)
+    split = max(4 << 20, tf_bytes_total // (2 * par))
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(split))
+    spark.conf.set("spark.sql.files.openCostInBytes", str(1 << 20))
 
     # ---- doc_stats (the ranker's per-doc ntf/dl lookup) and the block
     # index are independent readers of term_tf — run them concurrently.
