@@ -186,7 +186,10 @@ def main() -> None:
     ]
     eff = statistics.median(pair_eff)
     norm_eff = statistics.median(pair_norm)
-    bw_eff = statistics.median(pair_bw) if pair_bw else None
+    # clamp at 1.0: a raw value above 1 means the build scaled better than
+    # the bus itself did (its compute fraction kept scaling while the bus
+    # was flat) — "efficiency" cannot meaningfully exceed 1
+    bw_eff = min(1.0, statistics.median(pair_bw)) if pair_bw else None
     host_speedup = med_calib[4 * args.n] / med_calib[args.n]
     bw_speedup = (
         med_bw[4 * args.n] / med_bw[args.n] if med_bw[args.n] else None
@@ -203,6 +206,9 @@ def main() -> None:
         "host_normalized_efficiency": round(norm_eff, 3),
         "host_bw_speedup": round(bw_speedup, 3) if bw_speedup else None,
         "bw_normalized_efficiency": round(bw_eff, 3) if bw_eff else None,
+        "bw_normalized_unclamped": (
+            round(statistics.median(pair_bw), 3) if pair_bw else None
+        ),
         "per_pair_efficiency": [round(e, 3) for e in pair_eff],
         "per_pair_normalized": [round(e, 3) for e in pair_norm],
         "per_pair_bw_normalized": [round(e, 3) for e in pair_bw],

@@ -47,9 +47,26 @@ def main() -> None:
     timings: dict[str, float] = {}
     extra: dict[str, float] = {}
 
-    # ---- index build over the transcripts corpus (the north metric)
-    corpus = generate_transcripts_df(spark, BENCH_CONVS).cache()
-    n_turns = corpus.count()  # materialize cache so build timing excludes gen
+    # ---- index build over the transcripts corpus (the north metric).
+    # Input is a parquet table (the production shape per the input
+    # contract: an Iceberg transcripts table) with scan splits sized to
+    # the running cores — generation cost excluded from the timing.
+    corpus_dir = os.environ.get("BENCH_CORPUS_DIR", "/dev/shm/holi_bench_corpus")
+    shutil.rmtree(corpus_dir, ignore_errors=True)
+    generate_transcripts_df(spark, BENCH_CONVS).write.parquet(corpus_dir)
+    corpus_bytes = sum(
+        os.path.getsize(os.path.join(r, f))
+        for r, _, fs in os.walk(corpus_dir)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    spark.conf.set(
+        "spark.sql.files.maxPartitionBytes",
+        str(max(4 << 20, corpus_bytes // (2 * int(CPUS)))),
+    )
+    spark.conf.set("spark.sql.files.openCostInBytes", str(1 << 20))
+    corpus = spark.read.parquet(corpus_dir)
+    n_turns = corpus.count()
     idx_dir = os.environ.get("BENCH_IDX_DIR", "/dev/shm/holi_bench_index")
     shutil.rmtree(idx_dir, ignore_errors=True)
     t0 = time.time()
@@ -60,7 +77,7 @@ def main() -> None:
     timings["index_build"] = time.time() - t0
     extra["n_turns"] = float(n_turns)
     extra["turns_per_sec"] = n_turns / timings["index_build"]
-    corpus.unpersist()
+    shutil.rmtree(corpus_dir, ignore_errors=True)
 
     # ---- query latency over the built index
     engine = RankerEngine(spark, paths, preload=True)
