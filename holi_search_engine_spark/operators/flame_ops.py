@@ -71,6 +71,25 @@ def flame_flatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "flame_map_to_pair",
+    """
+    SELECT o_custkey AS k, o_totalprice AS v
+    FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def flame_map_to_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapToPair (FlameRDDImpl.java:55-60; flame/Worker.java:86-122): the
+    reference SHUFFLES on this call (pair writes routed by key so grouping
+    = co-location, Worker.java:116).  Spark defers: this is a pure
+    projection and the shuffle happens only if/when a groupBy follows —
+    one of the places the lazy plan beats the eager KVS materialization."""
+    o = load(spark, sf_dir, "orders")
+    return o.where(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("k"), F.col("o_totalprice").alias("v")
+    )
+
+
+@q(
     "flame_fold_by_key",
     """
     SELECT l_orderkey,

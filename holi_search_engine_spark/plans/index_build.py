@@ -354,7 +354,10 @@ def _build_index_inner(
         )
         obs = Observation("corpus_stats")
         observed = bucketed.observe(
-            obs, F.sum("tf").alias("total_tf"), F.sum("fd").alias("n_docs_ne")
+            obs,
+            F.sum("tf").alias("total_tf"),
+            F.sum("fd").alias("n_docs_ne"),
+            F.count(F.lit(1)).alias("n_rows"),
         ).drop("fd")
 
         def big_write() -> None:
@@ -384,6 +387,62 @@ def _build_index_inner(
             f_big.result()
         m = obs.get
         avgdl = float(m["total_tf"] or 0) / max(int(m["n_docs_ne"] or 0), 1)
+        if int(m["n_rows"] or 0) == 0:
+            # degenerate corpus (zero tokens anywhere): a partitioned write
+            # of 0 rows leaves a schema-less directory that every
+            # downstream read would choke on — rewrite each artifact as an
+            # explicit empty-but-schema-full parquet instead
+            from .compression import BLOCK_SCHEMA
+
+            empty_tf = spark.createDataFrame([], observed.schema).coalesce(1)
+            empty_tf.write.mode("overwrite").parquet(paths.term_tf)
+            src_types = dict(
+                zip(
+                    transcripts.schema.names,
+                    [f.dataType.simpleString() for f in transcripts.schema.fields],
+                )
+            )
+            stats_schema = (
+                ", ".join(f"{c} {src_types[c]}" for c in doc_cols)
+                + ", ntf double, dl long"
+            )
+            spark.createDataFrame([], schema=stats_schema).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(paths.doc_stats)
+            spark.createDataFrame(
+                [], schema=BLOCK_SCHEMA + ", bucket int"
+            ).coalesce(1).write.mode("overwrite").parquet(paths.blocks)
+            spark.createDataFrame(
+                [], schema="term string, df long, idf double"
+            ).coalesce(1).write.mode("overwrite").parquet(paths.wmetric)
+            n_turns_empty = n_turns
+            with open(paths.meta_json, "w") as f:
+                json.dump(
+                    {
+                        "doc_cols": doc_cols,
+                        "n_docs": n_turns_empty,
+                        "n_for_idf": n_for_idf if n_for_idf is not None else n_turns_empty,
+                        "n_turns": n_turns_empty,
+                        "buckets": buckets,
+                        "avgdl": 0.0,
+                    },
+                    f,
+                )
+            _manifest_write(paths, "stage_a", {"n_turns": n_turns_empty, "n_docs": n_turns_empty, "wall_sec": time.time() - t0, "turns_per_sec": None, "degenerate": True})
+            _manifest_write(paths, "doc_stats", {"degenerate": True})
+            _manifest_write(paths, "wmetric", {"degenerate": True})
+            for b in range(buckets):
+                _manifest_write(paths, "blocks", {"bucket": b, "degenerate": True}, bucket=b)
+                _manifest_write(paths, "postings", {"bucket": b, "n_terms": 0, "n_postings": 0, "degenerate": True}, bucket=b)
+            spark.createDataFrame(
+                [],
+                schema=(
+                    "term string, postings array<struct<"
+                    + ", ".join(f"{c}:{src_types[c]}" for c in doc_cols)
+                    + ", tf:int>>, df int, bucket int"
+                ),
+            ).coalesce(1).write.mode("overwrite").parquet(paths.postings)
+            return paths
         sub["term_tf_write_meta"] = time.time() - t0
         n_docs = n_turns
         n_idf = n_for_idf if n_for_idf is not None else n_docs

@@ -177,3 +177,23 @@ def test_build_deterministic_across_parallelism(
     assert len(a) == len(b)
     assert (a["term"].to_numpy() == b["term"].to_numpy()).all()
     assert (a["p"].to_numpy() == b["p"].to_numpy()).all()
+
+
+def test_degenerate_corpus_builds_empty_index(spark, dictionary, tmp_path):
+    """A corpus whose texts tokenize to nothing must still produce
+    schema-full artifacts every reader can open, plus empty query results
+    (not a schema-inference crash on bare directories)."""
+    from holi_search_engine_spark.plans.index_build import build_index
+    from holi_search_engine_spark.query.bm25 import BM25Engine
+    from holi_search_engine_spark.query.ranker import RankerEngine
+
+    df = spark.createDataFrame(
+        [(f"conv-{i:08d}", 0, "user", "", None, None) for i in range(4)],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    out = str(tmp_path / "idx_degenerate")
+    paths = build_index(spark, df, out, dictionary, buckets=2)
+    for p in (paths.term_tf, paths.doc_stats, paths.blocks, paths.wmetric, paths.postings):
+        assert spark.read.parquet(p).count() == 0, p
+    assert len(RankerEngine(spark, paths).search("anything at all")) == 0
+    assert len(BM25Engine(spark, paths).search("anything at all")) == 0
