@@ -278,51 +278,65 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SIMHASH_BITS = 32
+
+# frequency weighting is implicit: summing ±1 per token OCCURRENCE equals
+# summing ±tf per distinct token, so no (doc, token) pre-aggregation needed
+_SIMHASH_ACC_SQL = ",\n           ".join(
+    f"sum(CASE WHEN ((h >> {b}) & 1) = 1 THEN 1 ELSE -1 END)::BIGINT AS a{b}"
+    for b in range(SIMHASH_BITS)
+)
+_SIMHASH_EXPR_SQL = "\n           + ".join(
+    f"(CASE WHEN a{b} > 0 THEN (1::BIGINT << {b}) ELSE 0::BIGINT END)"
+    for b in range(SIMHASH_BITS)
+)
+
+
 @q(
     "dedup_simhash",
     f"""
     WITH tok AS (
-      SELECT doc_id, t.token, count(*) AS w
+      SELECT doc_id, {portable_hash32_sql("t.token")} AS h
       FROM documents, unnest(string_split_regex(trim(text), '\\s+')) AS t(token)
       WHERE t.token <> ''
-      GROUP BY doc_id, t.token
     ),
-    bits AS (
-      SELECT doc_id, b.bit,
-             sum(CASE WHEN (({portable_hash32_sql("token")} >> b.bit) & 1) = 1
-                      THEN w ELSE -w END) AS acc
-      FROM tok, unnest(range(0, 32)) AS b(bit)
-      GROUP BY doc_id, b.bit
+    acc AS (
+      SELECT doc_id,
+           {_SIMHASH_ACC_SQL}
+      FROM tok GROUP BY doc_id
     )
     SELECT doc_id,
-           sum(CASE WHEN acc > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS simhash
-    FROM bits GROUP BY doc_id
+           ({_SIMHASH_EXPR_SQL})::BIGINT AS simhash
+    FROM acc
     """,
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash per doc from token-frequency-weighted hash bits; at
-    scale near-dup pair generation groups by simhash band, as with LSH."""
+    scale near-dup pair generation groups by simhash band, as with LSH.
+
+    Single-pass plan: all 32 bit-accumulators are independent ``sum``
+    aggregates of one ``groupBy(doc_id)`` (map-side partial agg, one
+    shuffle of the token stream, no row amplification — the previous
+    crossJoin-with-a-bits-table form pushed 32× the token stream through
+    the shuffle)."""
     docs = load(spark, sf_dir, "documents")
     tok = (
         docs.select("doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token"))
         .where("token <> ''")
-        .groupBy("doc_id", "token")
-        .agg(F.count("*").alias("w"))
-        .withColumn("h", portable_hash32(F.col("token")))
+        .select("doc_id", portable_hash32(F.col("token")).alias("h"))
     )
-    bits = spark.range(32).select(F.col("id").cast("int").alias("bit"))
-    acc = (
-        tok.crossJoin(F.broadcast(bits))
-        .withColumn("bit_set", F.expr("(shiftright(h, bit) & 1) = 1"))
-        .groupBy("doc_id", "bit")
-        .agg(
-            F.sum(F.when(F.col("bit_set"), F.col("w")).otherwise(-F.col("w"))).alias("acc")
-        )
-    )
-    return acc.groupBy("doc_id").agg(
+    accs = [
         F.sum(
-            F.when(F.col("acc") > 0, F.expr("shiftleft(cast(1 as bigint), bit)")).otherwise(
-                F.lit(0)
-            )
-        ).alias("simhash")
-    )
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"a{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    acc = tok.groupBy("doc_id").agg(*accs)
+    sim = None
+    for b in range(SIMHASH_BITS):
+        bit = (
+            F.when(F.col(f"a{b}") > 0, F.lit(1 << b).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+        )
+        sim = bit if sim is None else sim + bit
+    return acc.select("doc_id", sim.alias("simhash"))

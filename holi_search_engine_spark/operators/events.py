@@ -75,9 +75,9 @@ def events_latest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sess AS (
       SELECT user_id, ts,
-             sum(new_session) OVER
+             (sum(new_session) OVER
                (PARTITION BY user_id ORDER BY ts, event_id
-                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS session_id
       FROM gaps
     )
     SELECT user_id, session_id, count(*) AS n_events,

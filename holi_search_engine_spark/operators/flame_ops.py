@@ -245,15 +245,18 @@ def flame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "flame_group_by",
     """
-    SELECT substr(upper(c_name), 1, 9) AS grp, count(*) AS n,
+    SELECT right(c_name, 2) AS grp, count(*) AS n,
            round(sum(c_acctbal), 2) AS bal
-    FROM customer GROUP BY substr(upper(c_name), 1, 9)
+    FROM customer GROUP BY right(c_name, 2)
     """,
 )
 def flame_group_by(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """groupBy with a computed key (flame/Worker.java:258-326)."""
+    """groupBy with a computed key (flame/Worker.java:258-326).  The key
+    (last two digits of c_name) yields ~100 groups, so the oracle compare
+    actually exercises grouping (a constant-prefix key collapsed to one
+    group and proved nothing)."""
     c = load(spark, sf_dir, "customer")
-    grp = F.substring(F.upper("c_name"), 1, 9).alias("grp")
+    grp = F.expr("right(c_name, 2)").alias("grp")
     return c.groupBy(grp).agg(
         F.count("*").alias("n"), F.round(F.sum("c_acctbal"), 2).alias("bal")
     )

@@ -200,33 +200,43 @@ ORACLE["media_doc_features"] = f"""
 
 def media_doc_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, frame_no, frame): evenly spaced payload slices — the
-    frame-sampling kernel shape over the documents payload."""
+    frame-sampling plan shape over the documents payload, fully in
+    Catalyst (``substr`` with column args + ``encode``/``hex``) since
+    slicing IS expressible JVM-side; the binary-payload mapInPandas
+    kernel this mirrors is :func:`sample_frames` (pytest-covered).
+    Frames are surfaced as hex strings — binary output columns crash
+    the correctness driver's canonicalizer."""
     from .common import load
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    schema = "doc_id long, frame_no int, frame binary"
-
-    def kernel(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            out = {"doc_id": [], "frame_no": [], "frame": []}
-            for did, text in zip(pdf["doc_id"], pdf["text"].fillna("")):
-                step = max(1, len(text) // FRAME_COUNT)
-                for fno in range(FRAME_COUNT):
-                    s = fno * step
-                    out["doc_id"].append(did)
-                    out["frame_no"].append(fno)
-                    out["frame"].append(text[s : s + step].encode())
-            yield pd.DataFrame(out)
-
-    return docs.mapInPandas(kernel, schema=schema)
+    step = F.greatest(F.floor(F.length("text") / FRAME_COUNT), F.lit(1)).cast("int")
+    return (
+        docs.select("doc_id", "text", step.alias("step"))
+        .select(
+            "doc_id",
+            "text",
+            "step",
+            F.explode(F.sequence(F.lit(0), F.lit(FRAME_COUNT - 1))).alias("frame_no"),
+        )
+        .select(
+            "doc_id",
+            "frame_no",
+            F.hex(
+                F.encode(
+                    F.col("text").substr(
+                        F.col("frame_no") * F.col("step") + F.lit(1), F.col("step")
+                    ),
+                    "UTF-8",
+                )
+            ).alias("frame"),
+        )
+    )
 
 
 QUERIES["media_doc_frames"] = media_doc_frames
 ORACLE["media_doc_frames"] = f"""
     SELECT doc_id, r.f::INT AS frame_no,
-           encode(substr(text, (r.f * step + 1)::INT, step::INT)) AS frame
+           hex(encode(substr(text, (r.f * step + 1)::INT, step::INT))) AS frame
     FROM (SELECT doc_id, text, greatest(len(text) // {FRAME_COUNT}, 1) AS step
           FROM documents),
          unnest(range(0, {FRAME_COUNT})) AS r(f)

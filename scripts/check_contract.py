@@ -27,13 +27,24 @@ def canon(v):
     if v is None:
         return "NULL"
     if isinstance(v, float):
+        # the driver stringifies ints and floats DIFFERENTLY (1234 vs
+        # 1234.0): a DuckDB HUGEINT sum arriving as float64 must NOT hash
+        # equal to Spark's int64 — keep the float marker so this gate
+        # catches the mismatch the way the driver does (round-1 lesson:
+        # %.6g alone rendered them identically and masked two red rows)
         if math.isnan(v):
             return "nan"
-        return f"{v:.6g}"
+        s = f"{v:.6g}"
+        return s if any(c in s for c in ".einf") else s + ".0"
     if isinstance(v, bool):
         return str(v).lower()
-    if isinstance(v, bytes):
-        return v.hex()
+    if isinstance(v, (bytes, bytearray)):
+        # the driver's canonicalizer CRASHES sorting binary columns
+        # (unhashable bytearray) — surface that as a failure here too
+        raise TypeError(
+            "binary output column would crash the driver's canonicalizer; "
+            "emit hex strings instead (F.hex / DuckDB hex())"
+        )
     if isinstance(v, list):
         return "[" + ",".join(canon(x) for x in v) + "]"
     return str(v)
@@ -98,8 +109,12 @@ def main() -> None:
             problems.append(f"rowcount spark={len(srows)} duck={len(orows)}")
         if sorted(scols) != sorted(ocols):
             problems.append(f"cols spark={sorted(scols)} duck={sorted(ocols)}")
-        elif table_hash(srows, scols) != table_hash(orows, ocols):
-            problems.append("value-hash mismatch")
+        else:
+            try:
+                if table_hash(srows, scols) != table_hash(orows, ocols):
+                    problems.append("value-hash mismatch")
+            except TypeError as e:
+                problems.append(str(e))
         if problems:
             print(f"FAIL  {name}: {'; '.join(problems)}")
             n_fail += 1
