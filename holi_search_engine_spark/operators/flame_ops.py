@@ -13,6 +13,9 @@ naive mapping (broadcast hints, partial aggregation, etc.).
 
 from __future__ import annotations
 
+import os
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .common import load, portable_hash32, portable_hash32_sql
@@ -301,6 +304,99 @@ def flame_take(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.select("o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"))
         .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
         .limit(5)
+    )
+
+
+@q(
+    "flame_parallelize",
+    """
+    SELECT * FROM (VALUES
+      ('alpha', 5), ('bravo', 5), ('charlie', 7), ('delta', 5),
+      ('echo', 4), ('foxtrot', 7), ('golf', 4), ('hotel', 5)
+    ) AS t(word, word_len)
+    """,
+)
+def flame_parallelize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """parallelize (FlameContextImpl.java:157-169): a driver-local list
+    becomes a distributed dataset — the one operator whose input
+    legitimately originates on the master (query plans, seeds, configs;
+    never corpus data)."""
+    words = ["alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf", "hotel"]
+    return spark.createDataFrame(
+        [(w, len(w)) for w in words], "word string, word_len int"
+    )
+
+
+@q(
+    "flame_flat_map_to_pair",
+    """
+    SELECT t.token AS k, count(DISTINCT doc_id) AS n_docs, min(doc_id) AS first_doc
+    FROM documents, unnest(string_split_regex(text, '\\s+')) AS t(token)
+    WHERE t.token <> ''
+    GROUP BY t.token
+    """,
+)
+def flame_flat_map_to_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """flatMapToPair (FlameRDDImpl.java:196-201; flame/Worker.java:489-525):
+    each input row emits N keyed pairs — explode + keyed projection, with a
+    per-key reduction so the pair stream is aggregate-checked (the Indexer
+    emits exactly this shape at ``jobs/Indexer.java:142-148``)."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = docs.select(
+        F.explode(F.split("text", r"\s+")).alias("k"), F.col("doc_id").alias("v")
+    ).where("k <> ''")
+    return pairs.groupBy("k").agg(
+        F.countDistinct("v").alias("n_docs"), F.min("v").alias("first_doc")
+    )
+
+
+@q("flame_collect", "SELECT n_nationkey, n_name FROM nation")
+def flame_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect (FlameRDDImpl.java:25-33): full scan materialized on the
+    master.  The rows genuinely round-trip through the driver here
+    (collect → createDataFrame) — legitimate ONLY for dimension-sized
+    tables; at corpus scale collect is not an operator, it's an accident
+    (the engine's no-collect-in-hot-paths rule)."""
+    src = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return spark.createDataFrame(src.collect(), src.schema)
+
+
+@q(
+    "flame_save_as_table",
+    """
+    SELECT s_nationkey, count(*) AS n, round(avg(s_acctbal), 2) AS avg_bal
+    FROM supplier GROUP BY s_nationkey
+    """,
+)
+def flame_save_as_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """saveAsTable (FlameRDDImpl.java:123-127): the reference renames the
+    output KVS table to a persistent name; the Spark analog persists a
+    named table (Iceberg ``writeTo`` on a cluster, parquet dir here).  The
+    returned rows have physically round-tripped through the sink."""
+    out = (
+        load(spark, sf_dir, "supplier")
+        .groupBy("s_nationkey")
+        .agg(F.count("*").alias("n"), F.round(F.avg("s_acctbal"), 2).alias("avg_bal"))
+    )
+    path = os.path.join(tempfile.gettempdir(), "holi_flame_save_as_table")
+    out.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+@q(
+    "flame_delete",
+    "SELECT (SELECT count(*) FROM part) AS n_before, 1 AS dropped",
+)
+def flame_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """delete (FlameRDDImpl.java:220-223): drop a named table.  Registers
+    the table, counts it, drops it, and asserts the catalog no longer
+    resolves the name — returned as a checkable row."""
+    load(spark, sf_dir, "part").createOrReplaceTempView("flame_delete_target")
+    n_before = spark.table("flame_delete_target").count()
+    spark.catalog.dropTempView("flame_delete_target")
+    dropped = int(not spark.catalog.tableExists("flame_delete_target"))
+    return spark.createDataFrame(
+        [(n_before, dropped)], "n_before long, dropped int"
     )
 
 
