@@ -227,6 +227,118 @@ def tokenize_batch(
     return out
 
 
+def term_frequency_batch(
+    pdf: pd.DataFrame,
+    dictionary: frozenset[str],
+    doc_cols: list[str],
+    text_col: str = "text",
+) -> pd.DataFrame:
+    """The TermFrequency job's tokenization of a batch (the wd-metric
+    path, ``/root/reference/src/cis5550/jobs/TermFrequency.java:44-139``).
+
+    Same regex chain as the Indexer, plus the job's own quirks:
+
+    - the CLEANED page is truncated to its first ¾ (integer division)
+      before splitting (``TermFrequency.java:67``);
+    - pass 2 stems the ORIGINAL-CASE token: the stemmer runs before the
+      ``toLowerCase`` at ``:110``, whose result is then never used
+      (``:105-112``) — so stem terms can carry uppercase, unlike the
+      Indexer which lowercases first (``Indexer.java:118-120``);
+    - pass 1 advances its position counter only on dictionary-accepted
+      tokens, pass 2 on all length-capped tokens; tf = |union of recorded
+      positions| per (doc, term), as in the Indexer;
+    - the norm is the single-sqrt L2 (``:120-125``), NOT the Indexer's
+      double-sqrt quirk Q1; ``normalized_tf = tf / l2`` (``:135``).
+
+    Returns one row per (doc, term): ``doc_cols + [term, tf,
+    normalized_tf]``.  Vectorization mirrors :func:`tokenize_batch`
+    (unique-token factorization + packed-key position union); the ¾
+    truncation is a per-DOC slice (pandas has no varying-stop ``str.slice``
+    — O(docs) Python, not O(tokens), outside the per-token hot path).
+    """
+    from .stemmer import stem_word
+
+    empty = pd.DataFrame(
+        columns=[*doc_cols, "term", "tf", "normalized_tf"]
+    ).astype({c: pdf[c].dtype for c in doc_cols} | {"term": object, "tf": "int64", "normalized_tf": "float64"})
+    cleaned = clean_text(pdf.reset_index(drop=True)[text_col])
+    cut = 3 * cleaned.str.len().to_numpy(np.int64) // 4
+    truncated = pd.Series(
+        [s[:c] for s, c in zip(cleaned.to_numpy(), cut)], index=cleaned.index
+    )
+    tok = truncated.str.split().explode()
+    tok = tok[tok.notna()]
+    if len(tok) == 0:
+        return empty
+    row_id = tok.index.to_numpy(dtype=np.int64)
+    tcodes, uniq = pd.factorize(tok.to_numpy())
+    uniq_s = pd.Series(uniq)
+    keep = (uniq_s.str.len().to_numpy(np.int64) <= MAX_TOKEN_LEN)[tcodes]
+    if not keep.all():
+        row_id, tcodes = row_id[keep], tcodes[keep]
+    if len(row_id) == 0:
+        return empty
+    n = len(row_id)
+    run_start = np.empty(n, dtype=bool)
+    run_start[0] = True
+    run_start[1:] = row_id[1:] != row_id[:-1]
+    rs = np.flatnonzero(run_start)
+    run_id = np.cumsum(run_start) - 1
+
+    acc_u = accept_mask(uniq_s, dictionary).to_numpy(dtype=bool)
+    acc = acc_u[tcodes]
+    c = np.cumsum(acc)
+    pos1 = c - (c - acc)[rs][run_id]  # accepted-token counter (pass 1)
+    pos2 = np.arange(n, dtype=np.int64) - rs[run_id] + 1  # all-token counter
+
+    lower_u = uniq_s.str.lower()
+    stem_u = uniq_s.map(stem_word)  # ORIGINAL-case input — the :105-110 quirk
+    union = np.concatenate([lower_u.to_numpy(), stem_u.to_numpy()])
+    ucodes, uniq_terms = pd.factorize(union)
+    lcode_u, scode_u = ucodes[: len(uniq)], ucodes[len(uniq) :]
+
+    rows_all = np.concatenate([row_id[acc], row_id])
+    codes = np.concatenate([lcode_u[tcodes[acc]], scode_u[tcodes]])
+    pos_all = np.concatenate([pos1[acc], pos2])
+
+    if (
+        len(uniq_terms) < (1 << _TERM_BITS)
+        and (pos_all.max() if len(pos_all) else 0) < (1 << _POS_BITS)
+    ):
+        key = (
+            (rows_all << (_TERM_BITS + _POS_BITS))
+            | (codes.astype(np.int64) << _POS_BITS)
+            | pos_all
+        )
+        uk = np.unique(key)
+        doc_term = uk >> _POS_BITS
+        pairs, tf = np.unique(doc_term, return_counts=True)
+        out_rows = (pairs >> _TERM_BITS).astype(np.int64)
+        out_terms = uniq_terms[(pairs & ((1 << _TERM_BITS) - 1)).astype(np.int64)]
+    else:  # degenerate batch: pandas fallback (as in tokenize_batch)
+        both = pd.DataFrame({"r": rows_all, "t": codes, "p": pos_all}).drop_duplicates()
+        g = both.groupby(["r", "t"], sort=True).size().reset_index(name="tf")
+        out_rows = g["r"].to_numpy(dtype=np.int64)
+        out_terms = uniq_terms[g["t"].to_numpy(dtype=np.int64)]
+        tf = g["tf"].to_numpy()
+
+    base = pdf.reset_index(drop=True)[doc_cols]
+    out = base.iloc[out_rows].reset_index(drop=True)
+    out["term"] = out_terms
+    out["tf"] = tf.astype("int64")
+    # per-doc single-sqrt L2 over contiguous doc runs (out_rows ascending)
+    n_o = len(out_rows)
+    start = np.empty(n_o, dtype=bool)
+    start[0] = True
+    start[1:] = out_rows[1:] != out_rows[:-1]
+    ds = np.flatnonzero(start)
+    gid = np.cumsum(start) - 1
+    tf64 = tf.astype(np.float64)
+    l2 = np.sqrt(np.add.reduceat(tf64 * tf64, ds))[gid]
+    out["normalized_tf"] = tf64 / l2
+    return out
+
+
 def ntf_from_tf(tf_pdf: pd.DataFrame, doc_cols: list[str]) -> pd.DataFrame:
     """Quirk Q1: ntf = (Σ tf²)^¼ (``Indexer.java:131-139`` applies sqrt to
     the L2 norm a second time)."""

@@ -114,6 +114,58 @@ def index_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _wd_sql() -> str:
+    from .common import clean_sql
+
+    c = clean_sql("text")
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, lower(t.token) AS term
+      FROM (SELECT doc_id, substring({c}, 1, (3 * length({c})) // 4) AS cut
+            FROM documents) d,
+           unnest(string_split_regex(d.cut, '\\s+')) AS t(token)
+      WHERE t.token <> '' AND length(t.token) <= 512
+    ), tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term)
+    SELECT doc_id, term, tf,
+           round(tf / sqrt(sum(tf * tf) OVER (PARTITION BY doc_id)), 6)
+             AS normalized_tf
+    FROM tf
+    """
+
+
+@q("tf_wd_surface", _wd_sql())
+def tf_wd_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TermFrequency job's SQL-expressible surface (the wd-metric path,
+    ``TermFrequency.java:44-139``): clean → truncate to the first ¾ of the
+    CLEANED page (``:67``) → split → lowercase → tf per (doc, term) →
+    single-sqrt L2 normalization (``:120-135``; NOT the Indexer's
+    double-sqrt quirk Q1).  The dictionary-filter and original-case-stem
+    passes are not SQL-expressible; the full-quirk job is
+    ``plans.term_frequency.term_frequency_stage``, pytest-gated against the
+    loop transliteration (tests/test_term_frequency.py)."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    cleaned = clean_expr(F.col("text"))
+    cut = F.substring(cleaned, F.lit(1), ((F.length(cleaned) * 3) / 4).cast("int"))
+    tok = (
+        docs.select("doc_id", F.explode(F.split(cut, r"\s+")).alias("token"))
+        .where("token <> ''")
+        .where(F.length("token") <= 512)
+        .select("doc_id", F.lower("token").alias("term"))
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    w = Window.partitionBy("doc_id")
+    return tf.select(
+        "doc_id",
+        "term",
+        "tf",
+        F.round(
+            F.col("tf") / F.sqrt(F.sum(F.col("tf") * F.col("tf")).over(w)), 6
+        ).alias("normalized_tf"),
+    )
+
+
 # ---------------------------------------------------------------- search
 
 SEARCH_QUERY_TEXT = "spark join stream"

@@ -89,6 +89,42 @@ def tokenize_doc(page: str, dictionary: frozenset[str]) -> dict[str, set[int]]:
     return positions
 
 
+def term_frequency_doc(
+    page: str, dictionary: frozenset[str]
+) -> dict[str, tuple[int, float]]:
+    """Loop transliteration of the TermFrequency job's per-page body
+    (``jobs/TermFrequency.java:44-139``): same clean chain as the Indexer,
+    then the job's own quirks — the CLEANED page is cut to its first ¾
+    (``:67``), pass 2 stems the ORIGINAL-case token (the ``toLowerCase`` at
+    ``:110`` lands after ``s.stem()`` and its result is discarded,
+    ``:105-112``), and the norm is the single-sqrt L2 (``:120-125``).
+    Returns term -> (tf, normalized_tf)."""
+    page = _RE_MSL.sub(" ", page)
+    page = _RE_TAG.sub(" ", page)
+    page = _RE_PUNCT.sub(" ", page)
+    page = _RE_NON_ALNUM.sub(" ", page)
+    page = _RE_NON_ASCII.sub(" ", page)
+    page = page[: 3 * len(page) // 4]
+    words = page.split()
+    positions: dict[str, set[int]] = {}
+    pos = 1
+    for w in words:  # pass 1: dictionary-accepted, counter on accepts only
+        if len(w) > 512:
+            continue
+        if not trie_contains(w, dictionary):
+            continue
+        positions.setdefault(w.lower(), set()).add(pos)
+        pos += 1
+    pos = 1
+    for w in words:  # pass 2: stem of the ORIGINAL-case word, all tokens
+        if len(w) > 512:
+            continue
+        positions.setdefault(stem_word(w), set()).add(pos)
+        pos += 1
+    l2 = math.sqrt(sum(len(p) * len(p) for p in positions.values()))
+    return {t: (len(p), len(p) / l2) for t, p in positions.items()}
+
+
 @dataclass
 class OracleIndex:
     postings: dict[str, list[tuple[DocId, int]]]  # doc-ordered (Q2 normalized)
