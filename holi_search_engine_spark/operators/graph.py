@@ -4,8 +4,15 @@ supplier→customer shipment graph (edges derived from lineitem⋈orders).
 Reference parity: ``jobs/PageRank.java`` is one of the reference's three
 core batch jobs (SURVEY.md §2.3); the iteration semantics live in
 ``plans/pagerank.py`` and are pytest-verified against a Python
-transliteration.  No SQL oracle entry — a fixed-point iteration isn't
-expressible as a deterministic single DuckDB query (rows-only check).
+transliteration on general (cyclic) graphs.
+
+The DuckDB oracle here exploits the fixture graph's shape: supplier→
+customer edges are BIPARTITE, so the reference iteration reaches its
+fixed point at iteration 2 and the maxΔ<0.01 gate stops it there —
+suppliers (no in-edges) settle at 1−d = 0.15 after one step, and each
+customer (a sink) at 0.15 + d·Σ_{s→c} 0.15/outdeg(s).  That closed form
+IS the converged output, checkable as one SQL query; the general
+iterative machinery stays pytest-gated (tests/test_pagerank.py).
 """
 
 from __future__ import annotations
@@ -35,3 +42,17 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["graph_pagerank"] = graph_pagerank
+ORACLE["graph_pagerank"] = """
+WITH edges AS (
+  SELECT DISTINCT 's' || l_suppkey::VARCHAR AS src, 'c' || o_custkey::VARCHAR AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+outdeg AS (SELECT src, count(*) AS od FROM edges GROUP BY src),
+verts AS (SELECT DISTINCT src AS vertex FROM edges UNION SELECT DISTINCT dst FROM edges),
+contrib AS (
+  SELECT e.dst AS vertex, sum(0.15 / od) AS s
+  FROM edges e JOIN outdeg USING (src) GROUP BY e.dst
+)
+SELECT v.vertex, round(0.15 + 0.85 * coalesce(c.s, 0), 6) AS rank
+FROM verts v LEFT JOIN contrib c USING (vertex)
+"""

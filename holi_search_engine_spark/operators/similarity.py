@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from .common import load, portable_hash32
+from .common import load, portable_hash32, portable_hash32_sql
 
 QUERIES: dict = {}
 ORACLE: dict[str, str] = {}
@@ -76,12 +76,51 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q("ann_lsh_topk")  # rows-only check: float sign bits are not portable to SQL
+@q(
+    "ann_lsh_topk",
+    f"""
+    WITH grid AS (
+      SELECT p.range::INT AS j, u.dim::INT AS dim
+      FROM range({LSH_PLANES}) p,
+           (SELECT unnest(range(0, len(embedding))) AS dim
+            FROM (SELECT embedding FROM embeddings LIMIT 1)) u
+    ),
+    planes AS (
+      SELECT j, list(CASE WHEN {portable_hash32_sql("j::VARCHAR || ':' || dim::VARCHAR")} & 1 = 1
+                          THEN 1.0 ELSE -1.0 END ORDER BY dim) AS w
+      FROM grid GROUP BY j
+    ),
+    bits AS (
+      SELECT e.vec_id, e.embedding, p.j,
+             CASE WHEN list_dot_product(e.embedding::DOUBLE[], p.w::DOUBLE[]) > 0
+                  THEN 1 ELSE 0 END AS bit
+      FROM embeddings e, planes p
+    ),
+    buckets AS (
+      SELECT vec_id, any_value(embedding) AS embedding,
+             sum(bit << ({LSH_PLANES - 1} - j))::BIGINT AS bucket
+      FROM bits GROUP BY vec_id
+    ),
+    probe AS (SELECT bucket AS pb, embedding AS pv FROM buckets
+              WHERE vec_id = {QUERY_VEC_ID})
+    SELECT b.vec_id, b.bucket,
+           round(list_cosine_similarity(b.embedding::DOUBLE[], probe.pv::DOUBLE[]), 6)
+             AS cosine
+    FROM buckets b, probe WHERE b.bucket = probe.pb
+    ORDER BY cosine DESC, b.vec_id
+    LIMIT {TOP_K}
+    """,
+)
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-bit LSH: 8 pseudo-random ±1 hyperplanes (deterministic from the
     portable hash of (plane, dim)); vectors sharing the probe's bucket are
     scored exactly.  Recall < 1 by construction — the scale path answer.
-    Falls back to brute force within the bucket."""
+    Falls back to brute force within the bucket.  The DuckDB oracle
+    reproduces the planes from the same md5 parity, so the sign bits (and
+    hence buckets) are portable: each ±1·float32 product is exact in
+    double, leaving sign agreement down to summation rounding on a
+    |dot| ~ √dims quantity — no observed flips on the deterministic
+    test data."""
     emb = load(spark, sf_dir, "embeddings")
     dims = emb.select(F.size("embedding").alias("d")).first()["d"]
     # ±1 plane weights, deterministic: parity of portable_hash32(f"{j}:{d}")

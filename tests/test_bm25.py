@@ -49,20 +49,49 @@ def test_absent_term_empty(bm25):
     assert len(bm25.search("zzzznotaterm", 10)) == 0
 
 
-def test_wand_skips_blocks(bm25, vocabulary):
-    """Block-max skipping must decode strictly fewer blocks than a
-    skip-free scorer would for a hot+rare query at small k (the rare
-    term's high-idf docs raise θ past most hot-term block bounds)."""
-    q = f"{vocabulary[0]} {vocabulary[4000]}"  # hot + rare
-    if bm25.total_blocks(q) < 4:
-        pytest.skip("fixture too small for block skipping to be observable")
-    before = bm25.blocks_decoded
-    got = bm25.search(q, 1)
-    decoded = bm25.blocks_decoded - before
-    if decoded == 0:
-        pytest.skip("query routed to the dense TAAT path")
-    assert decoded <= bm25.total_blocks(q)
-    _assert_equal(got, bm25.search_bruteforce(q, 1), "skip query still exact")
+@pytest.fixture(scope="module")
+def bm25_skip(spark, tmp_path_factory):
+    """An index engineered so block-max skipping is OBSERVABLE: a hot term
+    in all 4096 docs (32 blocks at BLOCK_SIZE=128) and a high-idf rare term
+    in 4 of them, with total postings (4100) under the TAAT crossover so
+    the query stays on the WAND path."""
+    import pandas as pd
+
+    from holi_search_engine_spark.plans.index_build import build_index
+
+    rows = []
+    for i in range(4096):
+        text = "common " * (1 + i % 3)
+        if i % 1024 == 500:
+            text += "rareterm " * 8
+        rows.append((f"conv-{i:08d}", 0, text))
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "text"])
+    out = str(tmp_path_factory.mktemp("bm25skip") / "idx")
+    paths = build_index(
+        spark,
+        spark.createDataFrame(pdf),
+        out,
+        frozenset({"common", "rareterm"}),
+        buckets=2,
+    )
+    return BM25Engine(spark, paths)
+
+
+def test_wand_skips_blocks(bm25_skip):
+    """Block-max skipping must decode STRICTLY fewer blocks than a
+    skip-free scorer for a hot+rare query at k=1: once a rare doc is
+    scored, θ exceeds every hot-only block bound and the hot cursor jumps
+    straight between the rare docs' blocks."""
+    q = "common rareterm"
+    total = bm25_skip.total_blocks(q)
+    assert total >= 16  # 32 hot blocks + the rare block(s)
+    before = bm25_skip.blocks_decoded
+    got = bm25_skip.search(q, 1)
+    decoded = bm25_skip.blocks_decoded - before
+    assert 0 < decoded < total
+    _assert_equal(
+        got, bm25_skip.search_bruteforce(q, 1), "skip query still exact"
+    )
 
 
 def test_scores_positive_and_sorted(bm25, vocabulary):
