@@ -93,12 +93,21 @@ def tokenize_terms(
             if len(pdf):
                 keys = None
                 if emit_doc_key:
-                    conv = (
-                        pdf["conv_id"].str.extract(r"(\d+)", expand=False).astype("int64")
-                    )
-                    keys = (conv.to_numpy() << TURN_BITS) | pdf["turn_idx"].to_numpy(
-                        dtype=np.int64
-                    )
+                    conv = pdf["conv_id"].str.extract(r"(\d+)", expand=False)
+                    ti = pdf["turn_idx"].to_numpy(dtype=np.int64)
+                    # defense-in-depth behind build_index's corpus-wide
+                    # round-trip gate: raise instead of corrupting keys
+                    if (
+                        conv.isna().any()
+                        or (ti < 0).any()
+                        or (ti >= (1 << TURN_BITS)).any()
+                    ):
+                        raise ValueError(
+                            "doc_key packing violated: conv_id must embed "
+                            f"digits and 0 <= turn_idx < {1 << TURN_BITS}; "
+                            "rebuild with string doc columns"
+                        )
+                    keys = (conv.astype("int64").to_numpy() << TURN_BITS) | ti
                 out = tokenize_batch(
                     pdf, d, doc_cols, text_col, with_stats=with_stats, doc_keys=keys
                 )
@@ -337,6 +346,37 @@ def _build_index_inner(
 
         t0 = time.time()
         sub: dict[str, float] = {}
+        # The packed 8-byte doc key is only lossless when every conv_id is
+        # exactly 'conv-%08d' of its first digit-run AND every turn_idx
+        # fits TURN_BITS — 'a7'/'b7' would collide, a digit-free conv_id
+        # would crash the kernel, and turn_idx ≥ 2^TURN_BITS would corrupt
+        # keys silently.  Validate the ROUND-TRIP corpus-wide before
+        # choosing the key path (one cheap two-column agg, which also
+        # yields the corpus count stage A needs anyway); anything
+        # non-conforming falls back to string doc columns.
+        emit_key = False
+        if doc_cols == DOC_COLS:
+            from .compression import TURN_BITS
+
+            rt = F.format_string(
+                "conv-%08d",
+                F.regexp_extract("conv_id", r"(\d+)", 1).cast("long"),
+            )
+            chk = transcripts.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min(F.coalesce(F.col("conv_id") == rt, F.lit(False))).alias("rt_ok"),
+                F.min(
+                    F.coalesce(
+                        (F.col("turn_idx") >= 0)
+                        & (F.col("turn_idx") < (1 << TURN_BITS)),
+                        F.lit(False),
+                    )
+                ).alias("turn_ok"),
+            ).first()
+            n_turns_pre = int(chk["n"])
+            emit_key = n_turns_pre == 0 or (bool(chk["rt_ok"]) and bool(chk["turn_ok"]))
+        else:
+            n_turns_pre = transcripts.count()
         term_raw = tokenize_terms(
             transcripts,
             dictionary,
@@ -347,7 +387,7 @@ def _build_index_inner(
             # conv_id string — the widest column of the token stream; on a
             # bandwidth-bound host/cluster this narrows every Arrow
             # transfer, parquet file, and shuffle of ~n_postings rows
-            emit_doc_key=(doc_cols == DOC_COLS),
+            emit_doc_key=emit_key,
         )
         bucketed = term_raw.withColumn(
             "bucket", F.pmod(F.xxhash64("term"), F.lit(buckets)).cast("int")
@@ -371,19 +411,18 @@ def _build_index_inner(
                 paths.term_tf
             )
 
-        def small_jobs() -> int:
-            # (conv_id, turn_idx) is the primary key: one doc per turn — no
-            # distinct() pass over the corpus needed
-            n_turns_ = transcripts.count()
+        def small_jobs() -> None:
             build_doc_meta(transcripts, doc_cols, text_col).write.mode(
                 "overwrite"
             ).parquet(paths.doc_meta)
-            return n_turns_
 
+        # (conv_id, turn_idx) is the primary key: one doc per turn — the
+        # validation agg above already counted the corpus
+        n_turns = n_turns_pre
         with ThreadPoolExecutor(max_workers=2) as pool:
             f_big = pool.submit(big_write)
             f_small = pool.submit(small_jobs)
-            n_turns = f_small.result()
+            f_small.result()
             f_big.result()
         m = obs.get
         avgdl = float(m["total_tf"] or 0) / max(int(m["n_docs_ne"] or 0), 1)
@@ -503,6 +542,24 @@ def _build_index_inner(
 
         t = time.time()
         tf_r = spark.read.parquet(paths.term_tf)
+        if "ntf" not in tf_r.columns or "dl" not in tf_r.columns:
+            # term_tf written by an older build (before the per-doc stats
+            # rode the token stream): recompute the aggregates the old way
+            # instead of failing the resume
+            key = ["doc_key"] if "doc_key" in tf_r.columns else doc_cols
+            stats = tf_r.groupBy(*key).agg(
+                F.pow(F.sum(F.col("tf") * F.col("tf")), F.lit(0.25)).alias("ntf"),
+                F.sum("tf").cast("long").alias("dl"),
+            )
+            if key == ["doc_key"]:
+                stats = stats.select(
+                    *doc_cols_from_key_exprs(doc_cols), "ntf", "dl", "doc_key"
+                )
+            stats.write.mode("overwrite").parquet(paths.doc_stats)
+            _manifest_write(
+                paths, "doc_stats", {"wall_sec": time.time() - t, "legacy_tf": True}
+            )
+            return
         if "doc_key" in tf_r.columns:
             # aggregate on the narrow key; reconstruct the user-facing doc
             # columns only on the ~n_docs output rows

@@ -197,3 +197,92 @@ def test_degenerate_corpus_builds_empty_index(spark, dictionary, tmp_path):
         assert spark.read.parquet(p).count() == 0, p
     assert len(RankerEngine(spark, paths).search("anything at all")) == 0
     assert len(BM25Engine(spark, paths).search("anything at all")) == 0
+
+
+def test_nonconforming_conv_ids_fall_back_to_string_keys(spark, dictionary, tmp_path):
+    """conv_ids outside the 'conv-%08d' contract ('a7'/'b7' would COLLIDE
+    under first-digit-run packing) must disable the packed doc_key and
+    come back verbatim in every artifact."""
+    from holi_search_engine_spark.plans.index_build import build_index
+
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["a7", "b7", "conv-00000001"],
+            "turn_idx": [0, 0, 0],
+            "text": ["hello world", "hello hello", "world"],
+        }
+    )
+    out = str(tmp_path / "idx_strkeys")
+    paths = build_index(spark, spark.createDataFrame(pdf), out, dictionary, buckets=2)
+    assert "doc_key" not in spark.read.parquet(paths.term_tf).columns
+    stats = spark.read.parquet(paths.doc_stats).toPandas()
+    assert set(stats["conv_id"]) == {"a7", "b7", "conv-00000001"}
+
+
+def test_turn_idx_overflow_falls_back_to_string_keys(spark, dictionary, tmp_path):
+    """turn_idx >= 2^TURN_BITS would corrupt packed keys silently — the
+    round-trip gate must route the build to string doc columns instead."""
+    from holi_search_engine_spark.plans.compression import TURN_BITS
+    from holi_search_engine_spark.plans.index_build import build_index
+
+    over = 1 << TURN_BITS
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["conv-00000001"] * 2,
+            "turn_idx": [0, over],
+            "text": ["alpha beta", "beta gamma"],
+        }
+    )
+    out = str(tmp_path / "idx_turnover")
+    paths = build_index(spark, spark.createDataFrame(pdf), out, dictionary, buckets=2)
+    assert "doc_key" not in spark.read.parquet(paths.term_tf).columns
+    stats = spark.read.parquet(paths.doc_stats).toPandas()
+    assert set(int(t) for t in stats["turn_idx"]) == {0, over}
+
+
+def test_tokenize_terms_doc_key_guard_raises(spark):
+    """Kernel defense-in-depth: forcing emit_doc_key on a non-conforming
+    batch raises instead of corrupting keys."""
+    import pytest
+
+    from holi_search_engine_spark.plans.compression import TURN_BITS
+    from holi_search_engine_spark.plans.index_build import tokenize_terms
+
+    df = spark.createDataFrame(
+        [("conv-00000001", 1 << TURN_BITS, "some words")],
+        "conv_id string, turn_idx int, text string",
+    )
+    out = tokenize_terms(df, frozenset(), ["conv_id", "turn_idx"], emit_doc_key=True)
+    with pytest.raises(Exception, match="doc_key packing violated"):
+        out.collect()
+
+
+def test_resume_legacy_term_tf_without_stats(spark, xs_df, dictionary, tmp_path):
+    """Resuming over a term_tf written by a pre-stats build (no ntf/dl
+    columns) must recompute doc_stats the old way, not crash."""
+    from holi_search_engine_spark.plans.index_build import build_index
+
+    out = str(tmp_path / "idx_legacy")
+    paths = build_index(spark, xs_df, out, dictionary, buckets=2, build_blocks=False)
+    expected = (
+        spark.read.parquet(paths.doc_stats)
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    legacy = spark.read.parquet(paths.term_tf).drop("ntf", "dl", "fd").toPandas()
+    import shutil
+
+    shutil.rmtree(paths.term_tf)
+    spark.createDataFrame(legacy).write.partitionBy("bucket").parquet(paths.term_tf)
+    os.remove(os.path.join(paths.manifest, "doc_stats.json"))
+    build_index(spark, xs_df, out, dictionary, buckets=2, build_blocks=False)
+    got = (
+        spark.read.parquet(paths.doc_stats)
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    assert (got["conv_id"] == expected["conv_id"]).all()
+    assert np.allclose(got["ntf"], expected["ntf"])
+    assert (got["dl"].to_numpy() == expected["dl"].to_numpy()).all()
