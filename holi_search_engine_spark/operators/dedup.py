@@ -52,16 +52,19 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct word-3-gram shingles per doc (map-only stage)."""
-    docs = load(spark, sf_dir, "documents")
+def shingles_of(docs: DataFrame, shingle: int = SHINGLE) -> DataFrame:
+    """Distinct word-n-gram shingles per doc (map-only stage)."""
     toks = F.split(F.trim(F.col("text")), r"\s+")
     n = F.size(toks)
-    idx = F.when(n >= SHINGLE, F.sequence(F.lit(0), n - SHINGLE)).otherwise(
+    idx = F.when(n >= shingle, F.sequence(F.lit(0), n - shingle)).otherwise(
         F.array().cast("array<int>")
     )
-    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, SHINGLE)))
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, shingle)))
     return docs.select("doc_id", F.explode(sh).alias("shingle")).distinct()
+
+
+def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return shingles_of(load(spark, sf_dir, "documents"))
 
 
 # DuckDB: list slicing toks[i : i+2] is 1-based inclusive → 3 elements.
@@ -83,8 +86,11 @@ _MINHASH_SQL = f"""
     )"""
 
 
-def _minhash(spark: SparkSession, sh: DataFrame) -> DataFrame:
-    seeds = spark.range(N_HASHES).select(F.col("id").cast("int").alias("j"))
+def minhash_of(sh: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
+    """(doc_id, j, minhash) for j in [0, n_hashes): shingle → seeded
+    portable hash → min per seed.  One map + one groupBy(doc, j)."""
+    spark = sh.sparkSession
+    seeds = spark.range(n_hashes).select(F.col("id").cast("int").alias("j"))
     hashed = sh.crossJoin(F.broadcast(seeds)).select(
         "doc_id",
         "j",
@@ -93,6 +99,105 @@ def _minhash(spark: SparkSession, sh: DataFrame) -> DataFrame:
         ).alias("h"),
     )
     return hashed.groupBy("doc_id", "j").agg(F.min("h").alias("minhash"))
+
+
+def _minhash(spark: SparkSession, sh: DataFrame) -> DataFrame:
+    return minhash_of(sh, N_HASHES)
+
+
+def lsh_params_for_threshold(threshold: float, n_hashes: int) -> tuple[int, int]:
+    """Pick (bands, rows_per_band) with bands·rows = n_hashes whose S-curve
+    midpoint (1/bands)^(1/rows) sits closest to the target Jaccard
+    threshold — the standard MMDS §3.4 tuning.  E.g. 128 hashes at a 0.5
+    threshold → 32 bands of 4 (midpoint 0.420, vs 16×8's 0.707); ties
+    break toward MORE bands (higher recall)."""
+    best: tuple[float, int, int] | None = None
+    for rows in range(1, n_hashes + 1):
+        if n_hashes % rows:
+            continue
+        bands = n_hashes // rows
+        mid = (1.0 / bands) ** (1.0 / rows)
+        d = abs(mid - threshold)
+        if best is None or d < best[0] or (d == best[0] and bands > best[1]):
+            best = (d, bands, rows)
+    assert best is not None
+    return best[1], best[2]
+
+
+def lsh_candidate_pairs(mh: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
+    """Banded candidate generation: docs agreeing on ANY band's full
+    signature pair up.  Only bucket-mates join — the quadratic step never
+    sees the corpus, and a band bucket of k docs emits k² pairs only
+    within that bucket."""
+    banded = mh.groupBy(
+        "doc_id", F.floor(F.col("j") / rows_per_band).alias("band")
+    ).agg(_sig_concat("j", "minhash").alias("band_sig"))
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def verify_pairs_jaccard(sh: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Exact shingle-Jaccard for candidate pairs only (semi-join
+    intersection sizes; never materializes shingle sets driver-side)."""
+    sh_a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sh_b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        pairs.join(sh_a, "doc_a")
+        .join(sh_b, ["doc_b", "shingle"], "left_semi")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter_size"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    return (
+        pairs.join(inter, ["doc_a", "doc_b"], "left")
+        .na.fill({"inter_size": 0})
+        .join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("size_a")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("size_b")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("inter_size").cast("double")
+                / (F.col("size_a") + F.col("size_b") - F.col("inter_size")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def lsh_near_dup_pairs(
+    docs: DataFrame,
+    n_hashes: int = 128,
+    threshold: float = 0.5,
+    shingle: int = SHINGLE,
+    bands: int | None = None,
+) -> DataFrame:
+    """Production-scale MinHash-LSH near-dup detection: (doc_a, doc_b,
+    jaccard) for candidate pairs, exact-verified, jaccard ≥ threshold.
+
+    Defaults (128 hashes, threshold-tuned banding) are corpus-scale
+    parameters; the driver entry ``dedup_lsh_pairs`` runs this same
+    pipeline at the oracle-checkable toy size (8 hashes, 4×2 bands,
+    unthresholded)."""
+    if bands is None:
+        bands, rows = lsh_params_for_threshold(threshold, n_hashes)
+    else:
+        assert n_hashes % bands == 0
+        rows = n_hashes // bands
+    sh = shingles_of(docs, shingle)
+    mh = minhash_of(sh, n_hashes)
+    pairs = lsh_candidate_pairs(mh, bands, rows)
+    verified = verify_pairs_jaccard(sh, pairs)
+    return verified.where(F.col("jaccard") >= threshold)
 
 
 def _sig_concat(order_col: str, value_col: str):
@@ -154,57 +259,22 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH banding (8 hashes → 4 bands of 2) → candidate pairs sharing any
-    band → exact shingle-Jaccard verification of candidates only."""
+    """LSH banding → candidate pairs sharing any band → exact
+    shingle-Jaccard verification of candidates only.  Oracle-checkable toy
+    parameters (8 hashes, 4 bands of 2, no threshold); the production path
+    is :func:`lsh_near_dup_pairs` (128 hashes, threshold-tuned banding),
+    same pipeline functions."""
     sh = _shingles(spark, sf_dir)
     mh = _minhash(spark, sh)
-    bands = mh.groupBy(
-        "doc_id", F.floor(F.col("j") / ROWS_PER_BAND).alias("band")
-    ).agg(_sig_concat("j", "minhash").alias("band_sig"))
-    a, b = bands.alias("a"), bands.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_sig") == F.col("b.band_sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    sh_a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    sh_b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (
-        pairs.join(sh_a, "doc_a")
-        .join(sh_b, ["doc_b", "shingle"], "left_semi")
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("inter_size"))
-    )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    return (
-        pairs.join(inter, ["doc_a", "doc_b"], "left")
-        .na.fill({"inter_size": 0})
-        .join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("size_a")), "doc_a")
-        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("size_b")), "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.round(
-                F.col("inter_size").cast("double")
-                / (F.col("size_a") + F.col("size_b") - F.col("inter_size")),
-                6,
-            ).alias("jaccard"),
-        )
-    )
+    pairs = lsh_candidate_pairs(mh, BANDS, ROWS_PER_BAND)
+    return verify_pairs_jaccard(sh, pairs)
 
 
 SHINGLE_DF_CAP = 10  # pair-generation prune: ignore shingles in > CAP docs
 JACCARD_MIN = 0.5
 
 
-@q(
-    "dedup_ngram_jaccard",
-    f"""
+_NGRAM_JACCARD_SQL = f"""
     WITH {_SHINGLES_SQL},
     rare AS (
       SELECT shingle FROM shingles GROUP BY shingle
@@ -230,23 +300,28 @@ JACCARD_MIN = 0.5
     JOIN sizes sa ON sa.doc_id = i.doc_a
     JOIN sizes sb ON sb.doc_id = i.doc_b
     WHERE i.inter_size::DOUBLE / (sa.sz + sb.sz - i.inter_size) >= {JACCARD_MIN}
-    """,
-)
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram-Jaccard near-dup pairs via inverted-index pair
-    generation: candidate pairs share a *rare* shingle (df ≤ 10 — the
-    standard frequency-cap prune that keeps the self-join linear-ish at
-    corpus scale; a head shingle shared by k docs would otherwise emit
-    k² pairs), then exact Jaccard over FULL shingle sets, thresholded.
-    The deterministic counterpart of the probabilistic ``dedup_lsh_pairs``.
     """
-    sh = _shingles(spark, sf_dir)
-    rare = (
-        sh.groupBy("shingle")
-        .agg(F.count("*").alias("sdf"))
-        .where((F.col("sdf") >= 2) & (F.col("sdf") <= SHINGLE_DF_CAP))
-        .select("shingle")
-    )
+
+
+def ngram_candidate_pairs(
+    sh: DataFrame, df_cap: int = SHINGLE_DF_CAP, heavy_fallback: bool = True
+) -> DataFrame:
+    """Inverted-index candidate generation with a frequency-cap prune:
+
+    - *rare* shingles (2 ≤ df ≤ ``df_cap``) pair-join fully — at most
+      df² pairs per shingle, bounded by the cap;
+    - *heavy* shingles (df > ``df_cap``), when ``heavy_fallback`` is on,
+      emit a STAR of pairs (the shingle's min doc_id vs. every other
+      holder) — linear in df, so a boilerplate shingle shared by 10⁶
+      docs costs 10⁶ candidate rows, not 10¹².
+
+    Without the fallback a doc duplicated in a cluster larger than the
+    cap has ALL its shingles above the cap and silently yields zero
+    pairs — the fallback surfaces such clusters (every member pairs with
+    the cluster's hub doc; exact verification then scores each pair).
+    """
+    sdf = sh.groupBy("shingle").agg(F.count("*").alias("sdf"))
+    rare = sdf.where((F.col("sdf") >= 2) & (F.col("sdf") <= df_cap)).select("shingle")
     sh_rare = sh.join(rare, "shingle", "left_semi")
     pairs = (
         sh_rare.alias("a")
@@ -256,26 +331,51 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
     )
-    sh_a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    sh_b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (
-        pairs.join(sh_a, "doc_a")
-        .join(sh_b, ["doc_b", "shingle"], "left_semi")
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("inter_size"))
-    )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    jac = F.col("inter_size").cast("double") / (
-        F.col("size_a") + F.col("size_b") - F.col("inter_size")
-    )
-    return (
-        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("size_a")), "doc_a")
-        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("size_b")), "doc_b")
-        .where(jac >= JACCARD_MIN)
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
-    )
+    if heavy_fallback:
+        heavy = sdf.where(F.col("sdf") > df_cap).select("shingle")
+        sh_heavy = sh.join(heavy, "shingle", "left_semi")
+        hubs = sh_heavy.groupBy("shingle").agg(F.min("doc_id").alias("hub"))
+        star = (
+            sh_heavy.join(F.broadcast(hubs), "shingle")
+            .where(F.col("doc_id") != F.col("hub"))
+            .select(
+                F.least("hub", "doc_id").alias("doc_a"),
+                F.greatest("hub", "doc_id").alias("doc_b"),
+            )
+        )
+        pairs = pairs.unionByName(star)
+    return pairs.distinct()
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    shingle: int = SHINGLE,
+    df_cap: int = SHINGLE_DF_CAP,
+    jaccard_min: float = JACCARD_MIN,
+    heavy_fallback: bool = True,
+) -> DataFrame:
+    """Production n-gram-Jaccard near-dup pairs: candidate generation via
+    :func:`ngram_candidate_pairs`, then exact Jaccard over FULL shingle
+    sets, thresholded at ``jaccard_min``.  The deterministic counterpart
+    of the probabilistic :func:`lsh_near_dup_pairs`."""
+    sh = shingles_of(docs, shingle)
+    pairs = ngram_candidate_pairs(sh, df_cap, heavy_fallback)
+    verified = verify_pairs_jaccard(sh, pairs)
+    return verified.where(F.col("jaccard") >= jaccard_min)
+
+
+@q("dedup_ngram_jaccard", _NGRAM_JACCARD_SQL)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle entry: :func:`ngram_jaccard_pairs` WITHOUT the heavy-shingle
+    star fallback, mirroring the SQL twin above (rare-shingle pair
+    generation only).  Known blind spot of this variant — documented, and
+    closed by the production default ``heavy_fallback=True``: a doc
+    duplicated in a cluster of more than ``SHINGLE_DF_CAP`` docs has all
+    its shingles above the cap and emits no pairs.
+    """
+    docs = load(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, heavy_fallback=False)
 
 
 SIMHASH_BITS = 32

@@ -1,0 +1,119 @@
+"""Dedup-operator tests on a seeded near-dup corpus: LSH parameter
+tuning, candidate precision/recall at production signature sizes, and the
+heavy-cluster fallback of the n-gram Jaccard path."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from holi_search_engine_spark.operators.dedup import (
+    SHINGLE,
+    lsh_near_dup_pairs,
+    lsh_params_for_threshold,
+    ngram_jaccard_pairs,
+    shingles_of,
+)
+
+
+def _shingle_set(text: str, n: int = SHINGLE) -> set[str]:
+    toks = text.split()
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def _jaccard(a: set[str], b: set[str]) -> float:
+    return len(a & b) / len(a | b)
+
+
+def _seeded_corpus(n_base: int = 40, n_dups: int = 15, doc_len: int = 60):
+    """Deterministic corpus: ``n_base`` random-token docs (pairwise
+    Jaccard ~0), plus a near-dup of the first ``n_dups`` (3% of tokens
+    perturbed → shingle Jaccard ~0.75)."""
+    rng = random.Random(20260817)
+    vocab = [f"w{i:04d}" for i in range(3000)]
+    rows = []
+    for i in range(n_base):
+        toks = [rng.choice(vocab) for _ in range(doc_len)]
+        rows.append((f"base-{i:03d}", " ".join(toks)))
+        if i < n_dups:
+            dup = list(toks)
+            for _ in range(max(1, doc_len // 33)):
+                dup[rng.randrange(doc_len)] = rng.choice(vocab)
+            rows.append((f"dup--{i:03d}", " ".join(dup)))
+    return rows
+
+
+def _truth_pairs(rows, threshold: float) -> set[tuple[str, str]]:
+    sets = {d: _shingle_set(t) for d, t in rows}
+    ids = sorted(sets)
+    return {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if _jaccard(sets[a], sets[b]) >= threshold
+    }
+
+
+def test_lsh_params_for_threshold_tuning():
+    # 128 hashes at a 0.5 target: 32 bands of 4 (midpoint 0.420) beats
+    # 16x8 (0.707) and 64x2 (0.125).
+    assert lsh_params_for_threshold(0.5, 128) == (32, 4)
+    # factorization always holds, and higher thresholds pick wider rows
+    for thr in (0.3, 0.5, 0.7, 0.9):
+        bands, rows = lsh_params_for_threshold(thr, 128)
+        assert bands * rows == 128
+    b_lo, r_lo = lsh_params_for_threshold(0.3, 128)
+    b_hi, r_hi = lsh_params_for_threshold(0.9, 128)
+    assert r_lo < r_hi  # steeper curve for stricter thresholds
+
+
+def test_lsh_near_dup_precision_recall(spark):
+    rows = _seeded_corpus()
+    truth = _truth_pairs(rows, 0.5)
+    assert len(truth) == 15  # exactly the seeded dup pairs
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in lsh_near_dup_pairs(docs, n_hashes=128, threshold=0.5).collect()
+    }
+    # exact verification makes precision 1.0 by construction
+    assert got <= truth
+    # 128-hash banding at s~0.75: per-pair miss probability < 1e-3
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.9, f"recall {recall}: {truth - got}"
+
+
+def test_lsh_candidate_precision(spark):
+    # unrelated random docs share no shingles; candidates should be
+    # (almost) only the true near-dups, so verification work is bounded
+    rows = _seeded_corpus()
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    from holi_search_engine_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_of,
+    )
+
+    mh = minhash_of(shingles_of(docs), 128)
+    cands = lsh_candidate_pairs(mh, 32, 4).count()
+    truth = _truth_pairs(rows, 0.5)
+    assert cands <= 2 * len(truth)
+
+
+def test_ngram_heavy_cluster_fallback(spark):
+    # a 12-doc near-identical cluster: every shingle has df > cap=10, so
+    # the capped (oracle) variant finds nothing; the star fallback
+    # surfaces every member via the hub doc
+    base = " ".join(f"tok{i:03d}" for i in range(40))
+    rows = [(f"c{i:02d}", base + f" tail{i}") for i in range(12)]
+    rows += [(f"solo{i}", " ".join(f"z{i}x{j}" for j in range(40))) for i in range(3)]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+
+    capped = ngram_jaccard_pairs(docs, heavy_fallback=False)
+    assert capped.count() == 0
+
+    surfaced = ngram_jaccard_pairs(docs, heavy_fallback=True)
+    got = {(r.doc_a, r.doc_b) for r in surfaced.collect()}
+    hub_pairs = {("c00", f"c{i:02d}") for i in range(1, 12)}
+    assert hub_pairs <= got
+    assert all(a.startswith("c") and b.startswith("c") for a, b in got)
