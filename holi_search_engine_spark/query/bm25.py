@@ -22,7 +22,7 @@ import re
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import SparkSession
+from pyspark.sql import SparkSession, functions as F
 
 from ..plans.compression import (
     BM25_B,
@@ -149,22 +149,48 @@ class _Cursor:
 
 
 class BM25Engine:
-    """Driver-side BM25 engine over a built index (preloaded block bytes —
-    the decode happens lazily per touched block)."""
+    """Driver-side BM25 engine over a built index.
 
-    def __init__(self, spark: SparkSession, paths: IndexPaths) -> None:
+    Preloaded mode (small indexes) holds the block BYTES in-process and
+    decodes lazily per touched block.  Above the block-table size
+    threshold (see ``ranker.PRELOAD_MAX_BYTES``) the engine auto-degrades:
+    each query batch-fetches only its own terms' blocks and df rows via
+    term-pruned parquet reads (one Spark job each per query, LRU-cached) —
+    identical results, no caller change.  Doc-length norms stay preloaded
+    in both modes: at 16 B/doc they are orders of magnitude smaller than
+    the block table, and WAND consults them per decoded posting; the
+    corpus size where *they* no longer fit is the documented hand-off to
+    ``query/distributed.py``."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        paths: IndexPaths,
+        preload: bool | None = None,
+        preload_max_bytes: int | None = None,
+    ) -> None:
+        from .ranker import _should_preload
+
+        self.spark = spark
+        self.paths = paths
         meta = read_meta(paths)
         self.doc_cols: list[str] = meta["doc_cols"]
         self.n_docs: int = meta["n_docs"]
         self.avgdl: float = meta.get("avgdl") or 1.0
-        blocks = spark.read.parquet(paths.blocks).toPandas()
-        self._blocks = {
-            t: g.sort_values("block_no").reset_index(drop=True)
-            for t, g in blocks.groupby("term", sort=False)
-        }
-        wm = spark.read.parquet(paths.wmetric).toPandas()
-        # stored df carries the reference's +1 quirk; undo it for BM25 idf
-        self._df = {t: int(d) - 1 for t, d in zip(wm["term"], wm["df"])}
+        self.preloaded = _should_preload(paths, preload, preload_max_bytes)
+        self._blocks: dict[str, pd.DataFrame] | None = None
+        self._df: dict[str, int] | None = None
+        self._block_cache: dict[str, pd.DataFrame | None] = {}
+        self._df_cache: dict[str, int] = {}
+        if self.preloaded:
+            blocks = spark.read.parquet(paths.blocks).toPandas()
+            self._blocks = {
+                t: g.sort_values("block_no").reset_index(drop=True)
+                for t, g in blocks.groupby("term", sort=False)
+            }
+            wm = spark.read.parquet(paths.wmetric).toPandas()
+            # stored df carries the reference's +1 quirk; undo it for BM25 idf
+            self._df = {t: int(d) - 1 for t, d in zip(wm["term"], wm["df"])}
         key = doc_key_expr(self.doc_cols)
         dl = (
             spark.read.parquet(paths.doc_len)
@@ -186,11 +212,58 @@ class BM25Engine:
     def blocks_decoded(self) -> int:
         return self._decode_counter[0]
 
+    def _ensure_terms(self, terms: list[str]) -> None:
+        """Degraded mode: one term-pruned read of blocks and one of
+        wmetric fetches every still-missing query term (batched — two
+        Spark jobs per query, not two per term)."""
+        if self._blocks is not None:
+            return
+        missing = [t for t in terms if t not in self._block_cache]
+        if not missing:
+            return
+        pdf = (
+            self.spark.read.parquet(self.paths.blocks)
+            .where(F.col("term").isin(missing))
+            .toPandas()
+        )
+        wm = (
+            self.spark.read.parquet(self.paths.wmetric)
+            .where(F.col("term").isin(missing))
+            .toPandas()
+        )
+        dfmap = {t: int(d) - 1 for t, d in zip(wm["term"], wm["df"])}
+        for t in missing:
+            g = pdf[pdf["term"] == t]
+            self._block_cache[t] = (
+                g.sort_values("block_no").reset_index(drop=True) if len(g) else None
+            )
+            self._df_cache[t] = dfmap.get(t, 0)
+        while len(self._block_cache) > self.SCORE_CACHE_TERMS:
+            self._block_cache.pop(next(iter(self._block_cache)))
+        while len(self._df_cache) > self.SCORE_CACHE_TERMS:
+            self._df_cache.pop(next(iter(self._df_cache)))
+
+    def _term_blocks(self, term: str) -> pd.DataFrame | None:
+        if self._blocks is not None:
+            return self._blocks.get(term)
+        if term not in self._block_cache:
+            self._ensure_terms([term])
+        return self._block_cache.get(term)
+
+    def _term_df(self, term: str) -> int:
+        if self._df is not None:
+            return self._df.get(term, 0)
+        if term not in self._df_cache:
+            self._ensure_terms([term])
+        return self._df_cache.get(term, 0)
+
     def total_blocks(self, query: str) -> int:
         """Number of index blocks the query's terms hold in total (the
         decode count a skip-free scorer would pay)."""
+        terms = self._tokenize(query)
+        self._ensure_terms(terms)
         return sum(
-            len(self._blocks[t]) for t in self._tokenize(query) if t in self._blocks
+            len(g) for g in (self._term_blocks(t) for t in terms) if g is not None
         )
 
     def _tokenize(self, query: str) -> list[str]:
@@ -204,17 +277,19 @@ class BM25Engine:
         return out
 
     def _weight(self, term: str) -> float:
-        return bm25_idf(self.n_docs, self._df.get(term, 0))
+        return bm25_idf(self.n_docs, self._term_df(term))
 
     def search_bruteforce(self, query: str, k: int = 10) -> pd.DataFrame:
         """Exhaustive vectorized term-at-a-time scoring — exact, and faster
         than WAND when the query's posting mass is dense (stopword-heavy
         queries score nearly every document, so skipping buys nothing and
         the per-pivot loop loses to array math)."""
+        terms = self._tokenize(query)
+        self._ensure_terms(terms)
         key_parts: list[np.ndarray] = []
         score_parts: list[np.ndarray] = []
-        for t in self._tokenize(query):
-            if t not in self._blocks:
+        for t in terms:
+            if self._term_blocks(t) is None:
                 continue
             keys, scores = self._term_scores(t)
             key_parts.append(keys)
@@ -238,7 +313,7 @@ class BM25Engine:
         if hit is not None:
             self._score_cache[term] = self._score_cache.pop(term)  # refresh
             return hit
-        g = self._blocks[term]
+        g = self._term_blocks(term)
         parts = [decode_block(d, b) for d, b in zip(g["doc_bytes"], g["tf_bytes"])]
         keys = np.concatenate([p[0] for p in parts]).astype(np.int64)
         tf = np.concatenate([p[1] for p in parts]).astype(np.float64)
@@ -261,15 +336,16 @@ class BM25Engine:
         """Exact BM25 top-k: block-max WAND with block-granular skipping,
         switching to the vectorized exhaustive path for dense queries
         (both are exact with the same doc-asc tie-break)."""
-        total = sum(
-            self._df.get(t, 0) for t in self._tokenize(query) if t in self._blocks
-        )
+        terms = self._tokenize(query)
+        self._ensure_terms(terms)
+        term_blocks = [(t, self._term_blocks(t)) for t in terms]
+        total = sum(self._term_df(t) for t, g in term_blocks if g is not None)
         if total > self.TAAT_THRESHOLD:
             return self.search_bruteforce(query, k)
         cursors = [
-            _Cursor(self._blocks[t], self._weight(t), self._dl_norm, self._decode_counter)
-            for t in self._tokenize(query)
-            if t in self._blocks
+            _Cursor(g, self._weight(t), self._dl_norm, self._decode_counter)
+            for t, g in term_blocks
+            if g is not None
         ]
         cursors = [c for c in cursors if not c.exhausted()]
         if not cursors:

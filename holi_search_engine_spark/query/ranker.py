@@ -24,6 +24,7 @@ heuristic (used in ``_candidates_early_exit``).
 from __future__ import annotations
 
 import math
+import os
 from dataclasses import dataclass
 
 import numpy as np
@@ -33,12 +34,29 @@ from pyspark.sql import SparkSession, functions as F
 from ..functions.javacompat import java_hashset_order
 from ..oracle.pandas_oracle import _RE_PUNCT  # same normalization regex
 from ..plans.compression import decode_block, doc_key_expr, doc_key_to_cols
-from ..plans.index_build import IndexPaths, read_meta
+from ..plans.index_build import IndexPaths, artifact_nbytes, read_meta
 from .stopwords import STOPWORDS
 
 TOP_CUT = 250  # Ranker.java:205
 EXPAND_THRESHOLD = 50  # Ranker.java:179,190
 PAGE_SIZE = 10  # Ranker.java:257
+
+# Auto-degrade threshold: preloading the block table into the driver is the
+# single-ranker-node serving model (lowest p95) and is right while the index
+# fits comfortably in driver memory; past this many bytes the engines fall
+# back to pruned per-term parquet reads with NO caller change — the 100×
+# corpus path.  Unknown sizes (non-local FS) also degrade.
+PRELOAD_MAX_BYTES = int(
+    os.environ.get("SPARK_GRAFT_PRELOAD_MAX_BYTES", str(2 << 30))
+)
+
+
+def _should_preload(paths: IndexPaths, preload: bool | None, limit: int | None) -> bool:
+    if preload is not None:
+        return preload
+    cap = PRELOAD_MAX_BYTES if limit is None else limit
+    nbytes = artifact_nbytes(paths.blocks)
+    return 0 <= nbytes <= cap
 
 
 @dataclass
@@ -58,8 +76,13 @@ class RankerEngine:
         self,
         spark: SparkSession,
         paths: IndexPaths,
-        preload: bool = True,
+        preload: bool | None = None,
+        preload_max_bytes: int | None = None,
     ) -> None:
+        """``preload=None`` (default) decides automatically: preload while
+        the block table is under ``preload_max_bytes`` (default
+        ``PRELOAD_MAX_BYTES``), else degrade to pruned per-term reads.
+        Explicit True/False forces a mode (tests; callers that know)."""
         self.spark = spark
         self.paths = paths
         meta = read_meta(paths)
@@ -69,7 +92,8 @@ class RankerEngine:
         self._wmetric: dict[str, float] | None = None
         self._ntf: pd.Series | None = None
         self._meta_pdf: pd.DataFrame | None = None
-        if preload:
+        self.preloaded = _should_preload(paths, preload, preload_max_bytes)
+        if self.preloaded:
             self._preload()
 
     # ---------------------------------------------------------- loading
@@ -131,27 +155,34 @@ class RankerEngine:
         )
         return float(pdf["idf"].iloc[0]) if len(pdf) else 0.0
 
+    def _keyed_rows(self, path: str, keys: np.ndarray, *cols: str) -> pd.DataFrame:
+        """Pruned per-candidate read: filter on the leading doc column (a
+        plain stored column, so the predicate reaches the parquet scan)
+        then on the exact packed key.  keys is ≤ TOP_CUT=250, so the isin
+        lists stay tiny."""
+        key = doc_key_expr(self.doc_cols)
+        lead = self.doc_cols[0]
+        lead_vals = doc_key_to_cols(np.asarray(keys, dtype=np.int64), self.doc_cols)[
+            lead
+        ].unique().tolist()
+        return (
+            self.spark.read.parquet(path)
+            .where(F.col(lead).isin(lead_vals))
+            .select(key.alias("doc_key"), *cols)
+            .where(F.col("doc_key").isin([int(k) for k in keys]))
+            .toPandas()
+        )
+
     def _ntf_for(self, keys: np.ndarray) -> np.ndarray:
         if self._ntf is not None:
             return self._ntf.reindex(keys).to_numpy(dtype=np.float64)
-        key = doc_key_expr(self.doc_cols)
-        pdf = (
-            self.spark.read.parquet(self.paths.ntf)
-            .select(key.alias("doc_key"), "ntf")
-            .where(F.col(self.doc_cols[0]).isNotNull())
-            .toPandas()
-        )
+        pdf = self._keyed_rows(self.paths.ntf, keys, "ntf")
         return pdf.set_index("doc_key")["ntf"].reindex(keys).to_numpy(dtype=np.float64)
 
     def _titles_for(self, keys: np.ndarray) -> pd.Series:
         if self._meta_pdf is not None:
             return self._meta_pdf["title"].reindex(keys).fillna("")
-        key = doc_key_expr(self.doc_cols)
-        pdf = (
-            self.spark.read.parquet(self.paths.doc_meta)
-            .select(key.alias("doc_key"), "title")
-            .toPandas()
-        )
+        pdf = self._keyed_rows(self.paths.doc_meta, keys, "title")
         return pdf.set_index("doc_key")["title"].reindex(keys).fillna("")
 
     # ---------------------------------------------------------- search

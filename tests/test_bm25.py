@@ -99,3 +99,16 @@ def test_scores_positive_and_sorted(bm25, vocabulary):
     s = got["score"].to_numpy()
     assert (s > 0).all()
     assert (np.diff(s) <= 1e-15).all()
+
+
+def test_auto_degraded_mode_identical(spark, built_index, bm25, vocabulary):
+    # force the preload threshold to 0 bytes: the engine must fall back to
+    # term-pruned per-query reads and return identical results
+    deg = BM25Engine(spark, built_index, preload_max_bytes=0)
+    assert not deg.preloaded and bm25.preloaded
+    for qid, q in make_query_fixtures(vocabulary)[:12]:
+        _assert_equal(deg.search(q, 10), bm25.search(q, 10), qid)
+        _assert_equal(
+            deg.search_bruteforce(q, 10), bm25.search_bruteforce(q, 10), qid
+        )
+    assert deg.total_blocks("the") == bm25.total_blocks("the")

@@ -85,3 +85,16 @@ def test_quirk_q5_first_term_tf_dropped(engine, oracle_index):
     assert list(zip(got["conv_id"], got["turn_idx"])) == [c.doc for c in exp]
     for g, c in zip(got["score"], exp):
         assert abs(g - c.score()) < 1e-9
+
+
+def test_auto_degraded_mode_identical(spark, built_index, engine, fixture_queries):
+    import pandas as pd
+
+    deg = RankerEngine(spark, built_index, preload_max_bytes=0)
+    assert not deg.preloaded and engine.preloaded
+    for qid, q in fixture_queries[:8]:
+        pd.testing.assert_frame_equal(
+            deg.search(q).reset_index(drop=True),
+            engine.search(q).reset_index(drop=True),
+            obj=qid,
+        )
