@@ -26,6 +26,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..sources.catalog import read_table, write_table
+
 BLOCK_SIZE = 128
 TURN_BITS = 6  # doc_key = conv_num << TURN_BITS | turn_idx
 
@@ -293,7 +295,7 @@ def build_block_index(
     if term_stream is not None:
         term_tf = term_stream
     else:
-        term_tf = spark.read.parquet(paths.term_tf)
+        term_tf = read_table(spark, paths.term_tf)
     if bucket is not None:
         wanted = [bucket] if isinstance(bucket, int) else list(bucket)
         term_tf = term_tf.where(F.col("bucket").isin(wanted))
@@ -315,7 +317,7 @@ def build_block_index(
         # no doc-keyed join, the term repartition is the ONLY shuffle
         joined = term_tf.select("term", key.alias("doc_key"), "tf", "ntf", norm)
     else:
-        doc_stats = spark.read.parquet(paths.doc_stats)
+        doc_stats = read_table(spark, paths.doc_stats)
         joined = term_tf.join(doc_stats, on=doc_cols).select(
             "term", key.alias("doc_key"), "tf", "ntf", norm
         )
@@ -336,9 +338,4 @@ def build_block_index(
     blocks = blocks.withColumn(
         "bucket", F.pmod(F.xxhash64("term"), F.lit(buckets)).cast("int")
     )
-    (
-        blocks.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("bucket")
-        .parquet(paths.blocks)
-    )
+    write_table(blocks, paths.blocks, partition_by=["bucket"], dynamic=True)

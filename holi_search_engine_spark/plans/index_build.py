@@ -42,6 +42,8 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..sources.catalog import read_table, write_table
+
 DOC_COLS = ["conv_id", "turn_idx"]
 DEFAULT_BUCKETS = 8
 DEFAULT_SALT = 16
@@ -407,14 +409,10 @@ def _build_index_inner(
             # by bucket here would pay a full shuffle of the largest
             # intermediate for nothing; bucket dirs exist purely for
             # resume-time partition pruning)
-            observed.write.mode("overwrite").partitionBy("bucket").parquet(
-                paths.term_tf
-            )
+            write_table(observed, paths.term_tf, partition_by=["bucket"])
 
         def small_jobs() -> None:
-            build_doc_meta(transcripts, doc_cols, text_col).write.mode(
-                "overwrite"
-            ).parquet(paths.doc_meta)
+            write_table(build_doc_meta(transcripts, doc_cols, text_col), paths.doc_meta)
 
         # (conv_id, turn_idx) is the primary key: one doc per turn — the
         # validation agg above already counted the corpus
@@ -434,7 +432,7 @@ def _build_index_inner(
             from .compression import BLOCK_SCHEMA
 
             empty_tf = spark.createDataFrame([], observed.schema).coalesce(1)
-            empty_tf.write.mode("overwrite").parquet(paths.term_tf)
+            write_table(empty_tf, paths.term_tf)
             src_types = dict(
                 zip(
                     transcripts.schema.names,
@@ -445,15 +443,20 @@ def _build_index_inner(
                 ", ".join(f"{c} {src_types[c]}" for c in doc_cols)
                 + ", ntf double, dl long"
             )
-            spark.createDataFrame([], schema=stats_schema).coalesce(1).write.mode(
-                "overwrite"
-            ).parquet(paths.doc_stats)
-            spark.createDataFrame(
-                [], schema=BLOCK_SCHEMA + ", bucket int"
-            ).coalesce(1).write.mode("overwrite").parquet(paths.blocks)
-            spark.createDataFrame(
-                [], schema="term string, df long, idf double"
-            ).coalesce(1).write.mode("overwrite").parquet(paths.wmetric)
+            write_table(
+                spark.createDataFrame([], schema=stats_schema).coalesce(1),
+                paths.doc_stats,
+            )
+            write_table(
+                spark.createDataFrame([], schema=BLOCK_SCHEMA + ", bucket int").coalesce(1),
+                paths.blocks,
+            )
+            write_table(
+                spark.createDataFrame(
+                    [], schema="term string, df long, idf double"
+                ).coalesce(1),
+                paths.wmetric,
+            )
             n_turns_empty = n_turns
             with open(paths.meta_json, "w") as f:
                 json.dump(
@@ -473,14 +476,17 @@ def _build_index_inner(
             for b in range(buckets):
                 _manifest_write(paths, "blocks", {"bucket": b, "degenerate": True}, bucket=b)
                 _manifest_write(paths, "postings", {"bucket": b, "n_terms": 0, "n_postings": 0, "degenerate": True}, bucket=b)
-            spark.createDataFrame(
-                [],
-                schema=(
-                    "term string, postings array<struct<"
-                    + ", ".join(f"{c}:{src_types[c]}" for c in doc_cols)
-                    + ", tf:int>>, df int, bucket int"
-                ),
-            ).coalesce(1).write.mode("overwrite").parquet(paths.postings)
+            write_table(
+                spark.createDataFrame(
+                    [],
+                    schema=(
+                        "term string, postings array<struct<"
+                        + ", ".join(f"{c}:{src_types[c]}" for c in doc_cols)
+                        + ", tf:int>>, df int, bucket int"
+                    ),
+                ).coalesce(1),
+                paths.postings,
+            )
             return paths
         sub["term_tf_write_meta"] = time.time() - t0
         n_docs = n_turns
@@ -541,7 +547,7 @@ def _build_index_inner(
         from .compression import doc_cols_from_key_exprs
 
         t = time.time()
-        tf_r = spark.read.parquet(paths.term_tf)
+        tf_r = read_table(spark, paths.term_tf)
         if "ntf" not in tf_r.columns or "dl" not in tf_r.columns:
             # term_tf written by an older build (before the per-doc stats
             # rode the token stream): recompute the aggregates the old way
@@ -555,7 +561,7 @@ def _build_index_inner(
                 stats = stats.select(
                     *doc_cols_from_key_exprs(doc_cols), "ntf", "dl", "doc_key"
                 )
-            stats.write.mode("overwrite").parquet(paths.doc_stats)
+            write_table(stats, paths.doc_stats)
             _manifest_write(
                 paths, "doc_stats", {"wall_sec": time.time() - t, "legacy_tf": True}
             )
@@ -575,7 +581,7 @@ def _build_index_inner(
                 .groupBy(*doc_cols)
                 .agg(F.first("ntf").alias("ntf"), F.first("dl").alias("dl"))
             )
-        stats.write.mode("overwrite").parquet(paths.doc_stats)
+        write_table(stats, paths.doc_stats)
         _manifest_write(paths, "doc_stats", {"wall_sec": time.time() - t})
 
     def blocks_job() -> None:
@@ -624,7 +630,7 @@ def _build_index_inner(
     )
     if remaining:
         t0 = time.time()
-        term_tf_r = spark.read.parquet(paths.term_tf)
+        term_tf_r = read_table(spark, paths.term_tf)
         if len(remaining) < buckets:
             term_tf_r = term_tf_r.where(F.col("bucket").isin(remaining))
         if "doc_key" in term_tf_r.columns:
@@ -637,15 +643,10 @@ def _build_index_inner(
             )
         postings = build_postings(term_tf_r, doc_cols, salt, carry_cols=["bucket"])
         # dynamic overwrite: a partial resume must not wipe completed buckets
-        (
-            postings.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("bucket")
-            .parquet(paths.postings)
-        )
+        write_table(postings, paths.postings, partition_by=["bucket"], dynamic=True)
         wall = time.time() - t0
         stats = (
-            spark.read.parquet(paths.postings)
+            read_table(spark, paths.postings)
             .where(F.col("bucket").isin(remaining))
             .groupBy("bucket")
             .agg(F.count(F.lit(1)).alias("n_terms"), F.sum("df").alias("n_postings"))
@@ -676,28 +677,27 @@ def _build_index_inner(
         n_idf = meta["n_for_idf"]
         if build_blocks:
             df_per_term = (
-                spark.read.parquet(paths.blocks)
+                read_table(spark, paths.blocks)
                 .groupBy("term")
                 .agg(F.sum("n").alias("df_true"))
             )
         elif build_postings_table:
-            df_per_term = spark.read.parquet(paths.postings).select(
+            df_per_term = read_table(spark, paths.postings).select(
                 "term", F.col("df").alias("df_true")
             )
         else:
             df_per_term = (
-                spark.read.parquet(paths.term_tf)
+                read_table(spark, paths.term_tf)
                 .groupBy("term")
                 .agg(F.count(F.lit(1)).alias("df_true"))
             )
-        (
+        write_table(
             df_per_term.select(
                 "term",
                 (F.col("df_true") + F.lit(1)).alias("df"),
                 F.log(F.lit(float(n_idf)) / (F.col("df_true") + F.lit(1))).alias("idf"),
-            )
-            .write.mode("overwrite")
-            .parquet(paths.wmetric)
+            ),
+            paths.wmetric,
         )
         _manifest_write(paths, "wmetric", {"wall_sec": time.time() - t0})
 

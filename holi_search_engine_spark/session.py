@@ -29,9 +29,16 @@ _ICEBERG_PACKAGES = "org.apache.iceberg:iceberg-spark-runtime-4.0_2.13"
 
 
 def iceberg_available(spark: SparkSession) -> bool:
-    """True when the Iceberg Spark runtime is on the classpath."""
+    """True when the Iceberg Spark runtime is on the classpath.
+
+    Must go through the JVM classloader: attribute access on ``_jvm``
+    returns a ``JavaPackage`` placeholder for MISSING classes instead of
+    raising, so the naive ``spark._jvm.org.apache.iceberg...`` probe is
+    always truthy."""
     try:
-        spark._jvm.org.apache.iceberg.catalog.TableIdentifier  # noqa: SLF001
+        spark._jvm.java.lang.Class.forName(  # noqa: SLF001
+            "org.apache.iceberg.spark.SparkCatalog"
+        )
         return True
     except Exception:
         return False

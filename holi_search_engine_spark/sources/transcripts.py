@@ -22,12 +22,26 @@ TRANSCRIPT_FIELDS = [
 ]
 
 ICEBERG_DDL = """
-CREATE TABLE {catalog}.{name} (
+CREATE TABLE IF NOT EXISTS {catalog}.{name} (
   conv_id string, turn_idx int, role string, text string,
   tool string, ts timestamp)
 USING iceberg
 PARTITIONED BY (bucket(64, conv_id))
-"""  # applied when the Iceberg runtime is on the classpath
+"""
+
+
+def ensure_transcripts_table(
+    spark: SparkSession, name: str = "transcripts", catalog: str = "spark_catalog"
+) -> bool:
+    """Apply the Iceberg DDL when the runtime is on the classpath; returns
+    whether the Iceberg branch was taken (False → parquet-dir layout, the
+    sandbox fallback)."""
+    from ..session import iceberg_available
+
+    if not iceberg_available(spark):
+        return False
+    spark.sql(ICEBERG_DDL.format(catalog=catalog, name=name))
+    return True
 
 
 class SchemaMismatch(ValueError):
@@ -52,10 +66,16 @@ def validate_schema(df: DataFrame) -> DataFrame:
 
 
 def read_transcripts(spark: SparkSession, path: str) -> DataFrame:
-    return validate_schema(spark.read.parquet(path))
+    from .catalog import read_table
+
+    return validate_schema(read_table(spark, path))
 
 
 def write_transcripts(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """Partition layout mirrors the Iceberg spec: hashing conv_id spreads
-    conversations evenly (turn counts vary per conversation)."""
-    validate_schema(df).write.mode(mode).parquet(path)
+    conversations evenly (turn counts vary per conversation).  Routed
+    through the capability-gated catalog — with the Iceberg runtime and
+    ``SPARK_GRAFT_ICEBERG_DB`` set this is an ACID table write."""
+    from .catalog import write_table
+
+    write_table(validate_schema(df), path, mode=mode)
