@@ -63,12 +63,32 @@ def calibrate_bw(procs):
     with multiprocessing.Pool(procs) as p:
         return sum(p.map(_stream, [4.0] * procs)) / 4.0  # GB/s aggregate
 
+def _tokkernel(secs):
+    # the engine's OWN tokenize kernel, Spark-free: the
+    # workload-specific ceiling for stage A (vs the register-only burn)
+    import time as _t
+    from holi_search_engine_spark.corpus import generate_transcripts_pdf, make_vocabulary
+    from holi_search_engine_spark.functions.tokenizer import tokenize_batch
+    pdf = generate_transcripts_pdf(150)
+    d = frozenset(make_vocabulary())
+    tokenize_batch(pdf, d, ["conv_id", "turn_idx"], "text", with_stats=True)
+    t0 = _t.time(); n = 0
+    while _t.time() - t0 < secs:
+        tokenize_batch(pdf, d, ["conv_id", "turn_idx"], "text", with_stats=True)
+        n += len(pdf)
+    return n / (_t.time() - t0)
+
+def calibrate_tok(procs):
+    with multiprocessing.Pool(procs) as p:
+        return sum(p.map(_tokkernel, [5.0] * procs))  # turns/s aggregate
+
 from holi_search_engine_spark.session import get_spark
 from holi_search_engine_spark.corpus import generate_transcripts_df, make_vocabulary
 from holi_search_engine_spark.plans.index_build import build_index
 
 calib_before = calibrate({cpus})
 bw_before = calibrate_bw({cpus})
+tok_before = calibrate_tok({cpus})
 spark = get_spark("scaling-{cpus}", shuffle_partitions={cpus})
 vocab = frozenset(make_vocabulary())
 # Input is a PARQUET table (the production shape per the input contract:
@@ -106,10 +126,22 @@ build_index(spark, corpus, out, vocab, buckets=8,
 wall = time.time() - t0
 calib_after = calibrate({cpus})
 bw_after = calibrate_bw({cpus})
+tok_after = calibrate_tok({cpus})
+# per-stage walls straight from the build's own lineage manifests
+# (stage_a is serial; doc_stats overlaps blocks by design — both legs
+# run the identical concurrent shape, so the N/4N ratio per stage holds)
+import glob
+stage_walls = {{}}
+for f in glob.glob(os.path.join(out, "_manifest", "*.json")):
+    rec = json.load(open(f))
+    base = os.path.basename(f)[:-5].split("_bucket_")[0]
+    stage_walls[base] = stage_walls.get(base, 0.0) + float(rec.get("wall_sec") or 0)
 print("RESULT " + json.dumps({{"cpus": {cpus}, "n_turns": n_turns,
                                "wall": wall, "tps": n_turns / wall,
                                "calib": (calib_before + calib_after) / 2,
-                               "bw": (bw_before + bw_after) / 2}}))
+                               "bw": (bw_before + bw_after) / 2,
+                               "tok": (tok_before + tok_after) / 2,
+                               "stage_walls": stage_walls}}))
 spark.stop()
 """
 
@@ -184,6 +216,34 @@ def main() -> None:
         for a, b in zip(results[args.n], results[4 * args.n])
         if a.get("bw") and b.get("bw")
     ]
+    # ---- per-stage efficiencies vs each stage's OWN measured ceiling.
+    # stage_a (the tokenize pass) is Python-kernel CPU work: its ceiling
+    # per pair is the speedup the engine's own Spark-free tokenize kernel
+    # achieved on the same pinned sets in the same minutes.  The JVM
+    # columnar stages (doc_stats / blocks / wmetric) are memory-bus-bound
+    # (BENCH/membw.py): their ceiling is the streaming-bandwidth speedup
+    # the bus delivered during that pair.
+    CEIL_OF = {"stage_a": "tok", "doc_stats": "bw", "blocks": "bw", "wmetric": "bw"}
+    stage_rows = {}
+    for st, ceil_key in CEIL_OF.items():
+        effs, ceils = [], []
+        for a, b in zip(results[args.n], results[4 * args.n]):
+            wa = a.get("stage_walls", {}).get(st)
+            wb = b.get("stage_walls", {}).get(st)
+            if not wa or not wb or not a.get(ceil_key) or not b.get(ceil_key):
+                continue
+            effs.append((wa / wb) / 4.0)
+            ceils.append((b[ceil_key] / a[ceil_key]) / 4.0)
+        if effs:
+            e, c = statistics.median(effs), statistics.median(ceils)
+            stage_rows[st] = {
+                "efficiency": round(e, 3),
+                "ceiling": round(c, 3),
+                "meets_ceiling": bool(e >= 0.9 * c),
+                "per_pair_eff": [round(x, 3) for x in effs],
+                "per_pair_ceiling": [round(x, 3) for x in ceils],
+            }
+
     eff = statistics.median(pair_eff)
     norm_eff = statistics.median(pair_norm)
     # clamp at 1.0: a raw value above 1 means the build scaled better than
@@ -217,6 +277,8 @@ def main() -> None:
         "all_runs": {str(c): [round(x["tps"], 1) for x in rs] for c, rs in results.items()},
         "all_calibs": {str(c): [round(x["calib"], 1) for x in rs] for c, rs in results.items()},
         "all_bw": {str(c): [round(x.get("bw", 0.0), 1) for x in rs] for c, rs in results.items()},
+        "all_tok": {str(c): [round(x.get("tok", 0.0), 1) for x in rs] for c, rs in results.items()},
+        "stages": stage_rows,
     }
     print(json.dumps(summary))
 
@@ -257,8 +319,29 @@ bandwidth-bound on one box, a ceiling the multi-node cluster criterion
 does not have because each executor node brings its own memory
 controllers).  The bandwidth-normalized number is the one that predicts
 cluster behavior; the raw number is the box.
+
+### Per-stage efficiency vs each stage's own measured ceiling
+
+Each stage's N→4N efficiency is compared against the ceiling ITS kind of
+work achieved on this host during the same pinned pairs: stage A
+(tokenize, Python/Arrow CPU work) against the engine's own Spark-free
+tokenize kernel under multiprocessing; the JVM columnar stages against
+the measured streaming-bandwidth speedup of the shared memory bus
+(doc_stats runs concurrently with blocks by design — both legs run the
+identical shape, so the per-stage ratio holds).  "meets" = within 10% of
+the ceiling (median over pairs):
+
+| stage | efficiency (N→4N, /4) | host ceiling (same pairs) | meets ±10% |
+|---|---|---|---|
+{{stage_table}}
 <!-- /scaling:auto -->
 """
+    stage_table = "\n".join(
+        f"| {st} | {r['efficiency']:.3f} | {r['ceiling']:.3f} | "
+        f"{'yes' if r['meets_ceiling'] else 'NO'} |"
+        for st, r in stage_rows.items()
+    ) or "| (no stage data) | | | |"
+    block = block.replace("{stage_table}", stage_table)
     existing = ""
     if os.path.exists(md_path):
         existing = open(md_path).read()
