@@ -133,6 +133,11 @@ def main() -> None:
                 "queries": {k: round(v, 3) for k, v in timings.items()},
                 "sf": float(sf),
                 "extra": {k: round(v, 3) for k, v in extra.items()},
+                "notes": {
+                    "search_topk": "self-contained oracle form: tokenizes "
+                    "the sf corpus inside the query; NOT query latency — "
+                    "that is query_p95_ms/bm25_p95_ms over the prebuilt index"
+                },
             }
         )
     )
