@@ -165,3 +165,102 @@ def stream_events_windowed(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_sessionize(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    gap_sec: int = 1800,
+    available_now: bool = True,
+):
+    """Custom STATEFUL streaming operator via ``applyInPandasWithState``:
+    per-user session assembly over an event stream, emitting one row per
+    CLOSED session (closed by a later event arriving more than ``gap_sec``
+    after the session's last event, or by state timeout when a user goes
+    idle across batches).
+
+    This is the streaming twin of the batch ``events_sessionize`` window
+    query — the batch form is a lag/cumsum over history; the streaming
+    form keeps ONE open session per user as state (4 scalars), so state
+    size is O(active users), not O(events), and scales horizontally with
+    the shuffle partitioning on user_id.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    out_schema = (
+        "user_id long, session_start timestamp, session_end timestamp, "
+        "n_events long, total_value double"
+    )
+    state_schema = "start long, last long, n long, total double"
+    gap_us = gap_sec * 1_000_000
+
+    def assemble(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        (user_id,) = key
+        if state.hasTimedOut:
+            start, last, n, total = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "session_start": [pd.Timestamp(start, unit="us")],
+                    "session_end": [pd.Timestamp(last, unit="us")],
+                    "n_events": [n],
+                    "total_value": [total],
+                }
+            )
+            return
+        ts_list: list[int] = []
+        val_list: list[float] = []
+        for pdf in pdf_iter:
+            ts_list.extend(int(t.value // 1000) for t in pdf["ts"])
+            val_list.extend(float(v) for v in pdf["value"])
+        order = sorted(range(len(ts_list)), key=ts_list.__getitem__)
+        closed = {"user_id": [], "session_start": [], "session_end": [],
+                  "n_events": [], "total_value": []}
+        cur = list(state.get) if state.exists else None  # [start,last,n,total]
+        for i in order:
+            t, v = ts_list[i], val_list[i]
+            if cur is None:
+                cur = [t, t, 1, v]
+            elif t - cur[1] > gap_us:
+                closed["user_id"].append(user_id)
+                closed["session_start"].append(pd.Timestamp(cur[0], unit="us"))
+                closed["session_end"].append(pd.Timestamp(cur[1], unit="us"))
+                closed["n_events"].append(cur[2])
+                closed["total_value"].append(cur[3])
+                cur = [t, t, 1, v]
+            else:
+                cur[1] = t
+                cur[2] += 1
+                cur[3] += v
+        if cur is not None:
+            state.update(tuple(cur))
+            state.setTimeoutDuration(gap_sec * 1000)
+        if closed["user_id"]:
+            yield pd.DataFrame(closed)
+
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+    sessions = stream.groupBy("user_id").applyInPandasWithState(
+        assemble,
+        out_schema,
+        state_schema,
+        "append",
+        GroupStateTimeout.ProcessingTimeTimeout,
+    )
+    writer = (
+        sessions.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

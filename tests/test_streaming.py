@@ -103,3 +103,60 @@ def test_windowed_stream_matches_batch(spark, tmp_path):
     assert merged["n_b"].notna().all()  # no spurious windows
     assert (merged["n_s"].to_numpy() == merged["n_b"].to_numpy()).all()
     assert (abs(merged["total_s"].to_numpy() - merged["total_b"].to_numpy()) < 1e-6).all()
+
+
+def test_stream_sessionize_stateful(spark, tmp_path):
+    """applyInPandasWithState sessionizer: sessions close when a later
+    event exceeds the gap (within or across micro-batches); open sessions
+    persist as state between batches."""
+    import pandas as pd
+
+    from holi_search_engine_spark.streaming.incremental import stream_sessionize
+
+    inbox = tmp_path / "events_in"
+    inbox.mkdir()
+    out = str(tmp_path / "sessions_out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drop(name, rows):
+        pdf = pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+        )
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(
+            str(inbox / name)
+        )
+
+    t0 = "2026-01-01 10:00:00"
+    # user 1: two events 5 min apart (one session), then a gap > 30 min
+    # inside the SAME batch closes it and opens a second
+    drop(
+        "b1",
+        [
+            (1, t0, 1, "click", 1.0, "{}"),
+            (2, "2026-01-01 10:05:00", 1, "click", 2.0, "{}"),
+            (3, "2026-01-01 11:00:00", 1, "click", 4.0, "{}"),
+            (4, t0, 2, "view", 10.0, "{}"),
+        ],
+    )
+    q = stream_sessionize(spark, str(inbox / "*"), out, ckpt, gap_sec=1800)
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out).toPandas()
+    # only user 1's FIRST session is closed; user 1's second and user 2's
+    # sessions are still open state
+    assert len(got) == 1
+    r = got.iloc[0]
+    assert (r["user_id"], r["n_events"], r["total_value"]) == (1, 2, 3.0)
+    assert str(r["session_start"]).startswith("2026-01-01 10:00:00")
+    assert str(r["session_end"]).startswith("2026-01-01 10:05:00")
+
+    # batch 2: a much-later event for user 2 closes their open session
+    drop("b2", [(5, "2026-01-01 13:00:00", 2, "view", 7.0, "{}")])
+    q = stream_sessionize(spark, str(inbox / "*"), out, ckpt, gap_sec=1800)
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out).toPandas().sort_values("user_id")
+    closed2 = got[got["user_id"] == 2]
+    assert len(closed2) == 1
+    assert (closed2.iloc[0]["n_events"], closed2.iloc[0]["total_value"]) == (1, 10.0)
