@@ -239,19 +239,28 @@ IVF_NPROBE = 4
     """,
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF coarse quantization: deterministic centroids (the first
-    ``IVF_CELLS`` vectors), each vector assigned to its nearest centroid
-    once (map-only vs a broadcast centroid table), query probes its
-    ``IVF_NPROBE`` nearest cells and re-ranks exactly inside them.  At
-    scale the assignment is written bucketed by ``cid`` so a probe prunes
-    to nprobe/cells of the corpus.  Similarities are rounded to 6dp before
-    the argmin so both engines break near-ties identically."""
-    from pyspark.sql import Window
-
+    """IVF coarse quantization, oracle entry: DETERMINISTIC centroids (the
+    first ``IVF_CELLS`` vectors) so the DuckDB twin is expressible; the
+    production path trains real centroids with :func:`kmeans_centroids`
+    and runs the identical search body (:func:`_ivf_search`).  Each vector
+    is assigned to its nearest centroid once (map-only vs a broadcast
+    centroid table), the query probes its ``IVF_NPROBE`` nearest cells and
+    re-ranks exactly inside them.  At scale the assignment is written
+    bucketed by ``cid`` so a probe prunes to nprobe/cells of the corpus.
+    Similarities are rounded to 6dp before the argmin so both engines
+    break near-ties identically."""
     emb = load(spark, sf_dir, "embeddings")
     cent = emb.where(F.col("vec_id") < IVF_CELLS).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
     )
+    return _ivf_search(emb, cent, QUERY_VEC_ID, IVF_NPROBE, TOP_K)
+
+
+def _assign_nearest(emb: DataFrame, cent: DataFrame) -> DataFrame:
+    """(vec_id, embedding, cid): each vector's nearest centroid — one
+    broadcast crossJoin (n·k rows, map-side) + per-vector argmin."""
+    from pyspark.sql import Window
+
     assign = emb.crossJoin(F.broadcast(cent)).select(
         "vec_id",
         "embedding",
@@ -259,12 +268,18 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(_cosine(F.col("embedding"), F.col("cvec")), 6).alias("sim"),
     )
     w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), "cid")
-    best = (
+    return (
         assign.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
         .select("vec_id", "embedding", "cid")
     )
-    qv = emb.where(F.col("vec_id") == QUERY_VEC_ID).select(
+
+
+def _ivf_search(
+    emb: DataFrame, cent: DataFrame, query_vec_id: int, nprobe: int, top_k: int
+) -> DataFrame:
+    best = _assign_nearest(emb, cent)
+    qv = emb.where(F.col("vec_id") == query_vec_id).select(
         F.col("embedding").alias("probe")
     )
     qcells = (
@@ -273,7 +288,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cid", F.round(_cosine(F.col("cvec"), F.col("probe")), 6).alias("sim")
         )
         .orderBy(F.col("sim").desc(), "cid")
-        .limit(IVF_NPROBE)
+        .limit(nprobe)
         .select("cid")
     )
     return (
@@ -284,8 +299,59 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(_cosine(F.col("embedding"), F.col("probe")), 6).alias("cosine"),
         )
         .orderBy(F.col("cosine").desc(), "vec_id")
-        .limit(TOP_K)
+        .limit(top_k)
     )
+
+
+def kmeans_centroids(emb: DataFrame, k: int = IVF_CELLS, iters: int = 5) -> DataFrame:
+    """Distributed Lloyd's k-means over the embedding column — the
+    production IVF coarse quantizer (the oracle entry's first-k centroids
+    are a determinism device, not a quantizer).
+
+    Deterministic init: the k vectors with the smallest ``xxhash64(vec_id)``
+    (a seeded pseudo-random sample with no RNG).  Each iteration is one
+    broadcast-join assignment (map-side, no shuffle of the corpus) plus
+    one elementwise-mean update via ``posexplode → groupBy(cid, pos)`` —
+    n·dim rows through a map-side-combined aggregation, the textbook
+    Spark k-means shape.  Centroids are ``localCheckpoint``-ed per
+    iteration to cut lineage growth.  Empty cells simply drop (k shrinks),
+    which IVF tolerates."""
+    from pyspark.sql import Window
+
+    h = F.xxhash64(F.col("vec_id").cast("string"))
+    seeds = emb.select("vec_id", "embedding", h.alias("h")).orderBy("h").limit(k)
+    cent = seeds.select(
+        (F.row_number().over(Window.orderBy("h")) - 1).alias("cid"),
+        F.col("embedding").alias("cvec"),
+    ).localCheckpoint()
+    for _ in range(iters):
+        best = _assign_nearest(emb, cent)
+        cent = (
+            best.select("cid", F.posexplode("embedding").alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cid")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("s"))
+            .select(
+                "cid",
+                F.transform("s", lambda t: t.m.cast("float")).alias("cvec"),
+            )
+            .localCheckpoint()
+        )
+    return cent
+
+
+def ann_ivf_topk_kmeans(
+    emb: DataFrame,
+    query_vec_id: int = QUERY_VEC_ID,
+    k_cells: int = IVF_CELLS,
+    nprobe: int = IVF_NPROBE,
+    top_k: int = TOP_K,
+    iters: int = 5,
+) -> DataFrame:
+    """Production IVF: k-means-trained centroids + the shared search body."""
+    cent = kmeans_centroids(emb, k_cells, iters)
+    return _ivf_search(emb, cent, query_vec_id, nprobe, top_k)
 
 
 PAIR_LIMIT = 300  # pairwise over a bounded slice — at scale this runs per LSH bucket
