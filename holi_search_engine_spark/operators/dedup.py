@@ -194,6 +194,11 @@ def lsh_near_dup_pairs(
         assert n_hashes % bands == 0
         rows = n_hashes // bands
     sh = shingles_of(docs, shingle)
+    # the shingle stream feeds FOUR consumers (minhash, both sides of the
+    # intersection join, set sizes); without a persist each one re-runs
+    # tokenize+explode over the corpus — .explain showed 4 duplicated
+    # scan subtrees.  MEMORY_AND_DISK: spills rather than recomputes.
+    sh = sh.persist()
     mh = minhash_of(sh, n_hashes)
     pairs = lsh_candidate_pairs(mh, bands, rows)
     verified = verify_pairs_jaccard(sh, pairs)
@@ -359,7 +364,7 @@ def ngram_jaccard_pairs(
     :func:`ngram_candidate_pairs`, then exact Jaccard over FULL shingle
     sets, thresholded at ``jaccard_min``.  The deterministic counterpart
     of the probabilistic :func:`lsh_near_dup_pairs`."""
-    sh = shingles_of(docs, shingle)
+    sh = shingles_of(docs, shingle).persist()  # 5 consumers, one tokenize
     pairs = ngram_candidate_pairs(sh, df_cap, heavy_fallback)
     verified = verify_pairs_jaccard(sh, pairs)
     return verified.where(F.col("jaccard") >= jaccard_min)
