@@ -104,3 +104,78 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
     )
+
+
+@q(
+    "events_stream_sessionize",
+    """
+    WITH gaps AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts, value,
+             (sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS sid
+      FROM gaps
+    ),
+    agg AS (
+      SELECT user_id, sid, count(*)::BIGINT AS n_events,
+             min(ts) AS session_start, max(ts) AS session_end,
+             round(sum(value), 2) AS total_value
+      FROM sess GROUP BY user_id, sid
+    ),
+    last AS (SELECT user_id, max(sid) AS msid FROM agg GROUP BY user_id)
+    SELECT a.user_id, a.session_start, a.session_end, a.n_events, a.total_value
+    FROM agg a JOIN last l ON a.user_id = l.user_id AND a.sid < l.msid
+    """,
+)
+def events_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CUSTOM STATEFUL STREAMING operator as a driver-checked entry:
+    runs ``streaming.incremental.stream_sessionize``
+    (``applyInPandasWithState``, one open session per user as state) over
+    the events table as an ``availableNow`` stream and returns the CLOSED
+    sessions.  Oracle twin: batch sessionization minus each user's final
+    session (which streaming correctly keeps open as state — no later
+    event has arrived to close it).  Session boundaries depend only on
+    sorted ts values, so equal-timestamp arrival order cannot change the
+    result; total_value is rounded to 2dp on both sides."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming.incremental import stream_sessionize
+
+    base = tempfile.mkdtemp(prefix="holi_stream_sess_")
+    out, ckpt = os.path.join(base, "out"), os.path.join(base, "ckpt")
+    inbox = os.path.join(base, "in")
+    os.makedirs(inbox)
+    # the file stream source requires a DIRECTORY; the sf table is a bare
+    # parquet file — link it into a temp inbox
+    os.symlink(
+        os.path.join(sf_dir, "events.parquet"), os.path.join(inbox, "events.parquet")
+    )
+    try:
+        q_ = stream_sessionize(spark, inbox, out, ckpt, gap_sec=1800)
+        q_.awaitTermination(600)
+        if not glob.glob(os.path.join(out, "*.parquet")):
+            return spark.createDataFrame(
+                [],
+                "user_id long, session_start timestamp, session_end timestamp,"
+                " n_events long, total_value double",
+            )
+        sessions = spark.read.parquet(out).select(
+            "user_id",
+            "session_start",
+            "session_end",
+            "n_events",
+            F.round("total_value", 2).alias("total_value"),
+        )
+        # materialize before the temp dir is removed
+        pdf = sessions.toPandas()
+        return spark.createDataFrame(pdf, schema=sessions.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
