@@ -275,6 +275,64 @@ def dedup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verify_pairs_jaccard(sh, pairs)
 
 
+PROD_N_HASHES = 128
+PROD_THRESHOLD = 0.5
+_PROD_BANDS, _PROD_ROWS = 32, 4  # lsh_params_for_threshold(0.5, 128)
+
+_MINHASH_PROD_SQL = f"""
+    mh AS (
+      SELECT doc_id, h.j,
+             min({portable_hash32_sql("j::VARCHAR || ':' || shingle")}) AS minhash
+      FROM shingles, unnest(range(0, {PROD_N_HASHES})) AS h(j)
+      GROUP BY doc_id, h.j
+    )"""
+
+
+@q(
+    "dedup_lsh_near_dup",
+    f"""
+    WITH {_SHINGLES_SQL}, {_MINHASH_PROD_SQL},
+    bands AS (
+      SELECT doc_id, j // {_PROD_ROWS} AS band,
+             string_agg(minhash::VARCHAR, ',' ORDER BY j) AS band_sig
+      FROM mh GROUP BY doc_id, j // {_PROD_ROWS}
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+    ),
+    inter AS (
+      SELECT p.doc_a, p.doc_b, count(*) AS inter_size
+      FROM pairs p JOIN shingles sa ON sa.doc_id = p.doc_a
+      WHERE EXISTS (SELECT 1 FROM shingles sb
+                    WHERE sb.doc_id = p.doc_b AND sb.shingle = sa.shingle)
+      GROUP BY p.doc_a, p.doc_b
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id)
+    SELECT doc_a, doc_b, jaccard FROM (
+      SELECT p.doc_a, p.doc_b,
+             round(coalesce(i.inter_size, 0)::DOUBLE
+                   / (sa.sz + sb.sz - coalesce(i.inter_size, 0)), 6) AS jaccard
+      FROM pairs p
+      LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+      JOIN sizes sa ON sa.doc_id = p.doc_a
+      JOIN sizes sb ON sb.doc_id = p.doc_b
+    ) WHERE jaccard >= {PROD_THRESHOLD}
+    """,
+)
+def dedup_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION LSH path as a driver-checked entry: 128 hashes,
+    threshold-tuned 32x4 banding, exact-verified and thresholded — the
+    exact :func:`lsh_near_dup_pairs` defaults, hash-matched against a full
+    DuckDB twin (the md5-derived portable hash makes even the 128 minhash
+    lanes SQL-expressible)."""
+    docs = load(spark, sf_dir, "documents")
+    return lsh_near_dup_pairs(
+        docs, n_hashes=PROD_N_HASHES, threshold=PROD_THRESHOLD
+    )
+
+
 SHINGLE_DF_CAP = 10  # pair-generation prune: ignore shingles in > CAP docs
 JACCARD_MIN = 0.5
 
