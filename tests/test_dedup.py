@@ -117,3 +117,74 @@ def test_ngram_heavy_cluster_fallback(spark):
     hub_pairs = {("c00", f"c{i:02d}") for i in range(1, 12)}
     assert hub_pairs <= got
     assert all(a.startswith("c") and b.startswith("c") for a, b in got)
+
+
+def _py_embedding_pairs(rows, dims, planes, cos_min):
+    """Pure-Python oracle of the embedding-cosine near-dup algorithm:
+    same md5 feature hash, same ±1 planes, same bucket packing, same
+    round-6 cosine — asserts the Spark plan is bit-exact, not just close."""
+    import hashlib
+    import math
+
+    def h32(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    w = [
+        [1.0 if h32(f"{j}:{d}") & 1 else -1.0 for d in range(dims)]
+        for j in range(planes)
+    ]
+    vecs, buckets = {}, {}
+    for doc_id, text in rows:
+        v = [0] * dims
+        for t in text.split():
+            v[h32(t) % dims] += 1
+        vecs[doc_id] = v
+        b = 0
+        for j in range(planes):
+            if sum(x * y for x, y in zip(v, w[j])) > 0:
+                b |= 1 << (planes - 1 - j)
+        buckets[doc_id] = b
+    out = set()
+    ids = sorted(vecs)
+    for i, a in enumerate(ids):
+        for b_ in ids[i + 1 :]:
+            if buckets[a] != buckets[b_]:
+                continue
+            va, vb = vecs[a], vecs[b_]
+            dot = sum(x * y for x, y in zip(va, vb))
+            cos = round(
+                dot
+                / (
+                    math.sqrt(sum(x * x for x in va))
+                    * math.sqrt(sum(x * x for x in vb))
+                ),
+                6,
+            )
+            if cos >= cos_min:
+                out.add((a, b_, cos))
+    return out
+
+
+def test_embedding_near_dup_bit_exact(spark):
+    from holi_search_engine_spark.operators.dedup import (
+        EMB_DIMS,
+        EMB_PLANES,
+        embedding_near_dup_pairs,
+    )
+
+    rows = _seeded_corpus()
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {
+        (r.doc_a, r.doc_b, r.cosine)
+        for r in embedding_near_dup_pairs(docs, cos_min=0.9).collect()
+    }
+    expect = _py_embedding_pairs(rows, EMB_DIMS, EMB_PLANES, 0.9)
+    assert got == expect
+    # precision vs the seeded truth: bag-of-words cosine between
+    # unrelated 60-token docs over 64 hashed dims sits near 0.5, the
+    # seeded 3%-perturbed dups near 0.97 — every surfaced pair must be a
+    # seeded (base, dup) pair, and the single-band 8-plane bucketing
+    # must surface at least one
+    assert len(got) >= 1
+    for a, b, _ in got:
+        assert a.replace("base-", "") == b.replace("dup--", ""), (a, b)
