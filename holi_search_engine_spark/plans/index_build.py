@@ -534,9 +534,11 @@ def _build_index_inner(
     spark.conf.set("spark.sql.files.maxPartitionBytes", str(split))
     spark.conf.set("spark.sql.files.openCostInBytes", str(1 << 20))
 
-    # ---- doc_stats (the ranker's per-doc ntf/dl lookup) and the block
-    # index are independent readers of term_tf — run them concurrently.
+    # ---- doc_stats (the ranker's per-doc ntf/dl lookup), the block
+    # index, and wmetric (df/idf, quirk Q3) are independent readers of
+    # term_tf — run all three concurrently.
     need_doc_stats = not (resume and _manifest_done(paths, "doc_stats"))
+    need_wmetric = not (resume and _manifest_done(paths, "wmetric"))
     blocks_remaining = (
         [b for b in range(buckets) if not (resume and _manifest_done(paths, "blocks", b))]
         if build_blocks
@@ -604,8 +606,34 @@ def _build_index_inner(
                 bucket=b,
             )
 
-    stage2 = ([doc_stats_job] if need_doc_stats else []) + (
-        [blocks_job] if blocks_remaining else []
+    def wmetric_job() -> None:
+        # df per term straight off the term_tf stream (one row per
+        # (doc, term) → count = df): a single-column pruned scan with
+        # map-side partial aggregation, running concurrently under the
+        # blocks encode instead of as a sequential re-read of the written
+        # index afterwards.  The quirk-Q3 artifact: df = df_true + 1,
+        # idf = ln(N / (df_true + 1)).
+        t0 = time.time()
+        n_idf = read_meta(paths)["n_for_idf"]
+        df_per_term = (
+            read_table(spark, paths.term_tf)
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias("df_true"))
+        )
+        write_table(
+            df_per_term.select(
+                "term",
+                (F.col("df_true") + F.lit(1)).alias("df"),
+                F.log(F.lit(float(n_idf)) / (F.col("df_true") + F.lit(1))).alias("idf"),
+            ),
+            paths.wmetric,
+        )
+        _manifest_write(paths, "wmetric", {"wall_sec": time.time() - t0})
+
+    stage2 = (
+        ([doc_stats_job] if need_doc_stats else [])
+        + ([blocks_job] if blocks_remaining else [])
+        + ([wmetric_job] if need_wmetric else [])
     )
     if stage2:
         with ThreadPoolExecutor(max_workers=len(stage2)) as pool:
@@ -666,40 +694,6 @@ def _build_index_inner(
                 },
                 bucket=b,
             )
-
-    # ---- wmetric (df/idf, quirk Q3): derived from index METADATA, not by
-    # re-aggregating the full token stream — df per term is sum(n) over its
-    # block rows (~df/128 rows) or the stored df of its postings row, three
-    # orders of magnitude less data at scale.
-    if not (resume and _manifest_done(paths, "wmetric")):
-        t0 = time.time()
-        meta = read_meta(paths)
-        n_idf = meta["n_for_idf"]
-        if build_blocks:
-            df_per_term = (
-                read_table(spark, paths.blocks)
-                .groupBy("term")
-                .agg(F.sum("n").alias("df_true"))
-            )
-        elif build_postings_table:
-            df_per_term = read_table(spark, paths.postings).select(
-                "term", F.col("df").alias("df_true")
-            )
-        else:
-            df_per_term = (
-                read_table(spark, paths.term_tf)
-                .groupBy("term")
-                .agg(F.count(F.lit(1)).alias("df_true"))
-            )
-        write_table(
-            df_per_term.select(
-                "term",
-                (F.col("df_true") + F.lit(1)).alias("df"),
-                F.log(F.lit(float(n_idf)) / (F.col("df_true") + F.lit(1))).alias("idf"),
-            ),
-            paths.wmetric,
-        )
-        _manifest_write(paths, "wmetric", {"wall_sec": time.time() - t0})
 
     return paths
 
