@@ -120,6 +120,7 @@ def main() -> None:
     run("index_postings", fulltext.QUERIES["index_postings"])
     run("dedup_lsh_pairs", dedup.QUERIES["dedup_lsh_pairs"])
     run("dedup_simhash", dedup.QUERIES["dedup_simhash"])
+    run("dedup_embedding_pairs", dedup.QUERIES["dedup_embedding_pairs"])
     run("events_sessionize", events.QUERIES["events_sessionize"])
 
     total = sum(timings.values())

@@ -614,8 +614,13 @@ def embedding_near_dup_pairs(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
             cosine.alias("cosine"),
+            (_norm(F.col("a.v")) * _norm(F.col("b.v"))).alias("_nn"),
         )
-        .where(F.col("cosine") >= cos_min)
+        # _nn > 0 excludes zero-token docs explicitly: their cosine is
+        # 0/0 = NaN, and Spark orders NaN ABOVE every double, so a bare
+        # `cosine >= cos_min` would emit empty-doc pairs
+        .where((F.col("_nn") > 0) & (F.col("cosine") >= cos_min))
+        .drop("_nn")
     )
 
 
@@ -669,6 +674,8 @@ _EMB_H = portable_hash32_sql
       JOIN vec b ON a.doc_id < b.doc_id
       JOIN buckets ba ON ba.doc_id = a.doc_id
       JOIN buckets bb ON bb.doc_id = b.doc_id AND ba.bucket = bb.bucket
+      WHERE list_dot_product(a.v::DOUBLE[], a.v::DOUBLE[]) > 0
+        AND list_dot_product(b.v::DOUBLE[], b.v::DOUBLE[]) > 0
     ) WHERE cosine >= {EMB_COS_MIN}
     """,
 )

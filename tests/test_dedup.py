@@ -188,3 +188,14 @@ def test_embedding_near_dup_bit_exact(spark):
     assert len(got) >= 1
     for a, b, _ in got:
         assert a.replace("base-", "") == b.replace("dup--", ""), (a, b)
+
+
+def test_embedding_near_dup_empty_docs_excluded(spark):
+    # two empty docs share bucket 0 with cosine 0/0 = NaN; Spark orders
+    # NaN above every double, so without the norm guard they would pair
+    from holi_search_engine_spark.operators.dedup import embedding_near_dup_pairs
+
+    rows = [("e1", ""), ("e2", "   "), ("d1", "x y z x"), ("d2", "x y z x")]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {(r.doc_a, r.doc_b) for r in embedding_near_dup_pairs(docs, cos_min=0.9).collect()}
+    assert got == {("d1", "d2")}
