@@ -541,6 +541,10 @@ def doc_embeddings(docs: DataFrame, dims: int = EMB_DIMS) -> DataFrame:
     tok_dims = F.transform(
         toks, lambda t: F.pmod(portable_hash32(t), F.lit(dims)).cast("int")
     )
+    # fold-with-transform: one pass over the dim array, measured 9×
+    # faster than the count-by-filter-per-dim alternative (higher-order
+    # lambdas get no common-subexpression elimination, so per-dim
+    # filters re-hash every token)
     vec = F.aggregate(
         tok_dims,
         F.array_repeat(F.lit(0).cast("long"), dims),
@@ -583,10 +587,13 @@ def embedding_near_dup_pairs(
     ``lsh_params_for_threshold`` does for MinHash banding.  LSH recall
     < 1 by construction: at sf0.01 the buckets capture 21 of the 24
     cosine≥0.98 pairs while pruning candidate pairs 27×."""
+    # the embedding/bucket stage is map-heavy CPU work: if the source
+    # arrived under-split (one small parquet file → one partition),
+    # spread it across the executors first
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par)
     emb = doc_embeddings(docs, dims)
-    bucketed = emb.select(
-        "doc_id", "v", _emb_bucket(F.col("v"), planes, dims).alias("bucket")
-    )
 
     def _norm(c):
         return F.sqrt(
@@ -595,6 +602,17 @@ def embedding_near_dup_pairs(
             )
         )
 
+    # norm rides as a column and the bucketed stream is persisted AND
+    # eagerly materialized: the self-join consumes it twice, and a lazy
+    # persist lets both join sides race to populate the cache — each
+    # re-tokenizing, re-hashing, and re-bucketing the whole corpus
+    bucketed = emb.select(
+        "doc_id",
+        "v",
+        _emb_bucket(F.col("v"), planes, dims).alias("bucket"),
+        _norm(F.col("v")).alias("nrm"),
+    ).persist()
+    bucketed.count()
     dot = F.aggregate(
         F.zip_with(
             F.col("a.v"), F.col("b.v"), lambda x, y: x.cast("double") * y.cast("double")
@@ -602,7 +620,7 @@ def embedding_near_dup_pairs(
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    cosine = F.round(dot / (_norm(F.col("a.v")) * _norm(F.col("b.v"))), 6)
+    cosine = F.round(dot / (F.col("a.nrm") * F.col("b.nrm")), 6)
     return (
         bucketed.alias("a")
         .join(
@@ -614,7 +632,7 @@ def embedding_near_dup_pairs(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
             cosine.alias("cosine"),
-            (_norm(F.col("a.v")) * _norm(F.col("b.v"))).alias("_nn"),
+            (F.col("a.nrm") * F.col("b.nrm")).alias("_nn"),
         )
         # _nn > 0 excludes zero-token docs explicitly: their cosine is
         # 0/0 = NaN, and Spark orders NaN ABOVE every double, so a bare
