@@ -307,3 +307,73 @@ QUERIES["search_topk_qtf"] = lambda spark, sf_dir: search_topk(
     spark, sf_dir, SEARCH_QUERY_TEXT_2
 )
 ORACLE["search_topk_qtf"] = _search_sql(SEARCH_QUERY_TEXT_2)
+
+
+# ---------------------------------------------------------------------------
+# BM25 top-k (the north-rule scale path, oracle-checkable form).
+
+BM25_QUERY_TEXT = "table scan filter"
+
+
+def _bm25_sql(query_text: str) -> str:
+    from ..plans.compression import BM25_B, BM25_K1
+
+    terms = ", ".join(f"'{t}'" for t in query_text.split())
+    return f"""
+    {_TF_SQL},
+    dl AS (SELECT doc_id, sum(tf)::DOUBLE AS dl FROM tf GROUP BY doc_id),
+    st AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                  (SELECT avg(dl) FROM dl) AS avgdl),
+    dfs AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term)
+    SELECT tf.doc_id,
+           round(sum( ln(1.0 + (st.n - dfs.df + 0.5) / (dfs.df + 0.5))
+                      * tf.tf * {BM25_K1 + 1.0!r}
+                      / (tf.tf + {BM25_K1!r}
+                         * ({1.0 - BM25_B!r} + {BM25_B!r} * dl.dl / st.avgdl)) ),
+                 6) AS score
+    FROM tf JOIN dfs USING (term) JOIN dl USING (doc_id), st
+    WHERE tf.term IN ({terms})
+    GROUP BY tf.doc_id
+    ORDER BY score DESC, tf.doc_id
+    LIMIT 10
+    """
+
+
+@q("search_bm25_topk", _bm25_sql(BM25_QUERY_TEXT))
+def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene-form BM25 top-k over ``documents`` with the engine's pinned
+    knobs (k1/b and the +1-floor idf of ``query/bm25.py:bm25_idf``) —
+    the oracle-checkable twin of the production block-max WAND path,
+    which pytest proves doc-and-score identical to brute force over this
+    same formula (``tests/test_bm25.py``)."""
+    from ..plans.compression import BM25_B, BM25_K1
+
+    terms = BM25_QUERY_TEXT.split()
+    tf = term_tf(spark, sf_dir).cache()
+    docs = load(spark, sf_dir, "documents")
+    n = docs.count()
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("double").alias("dl"))
+    avgdl = dl.agg(F.avg("dl")).first()[0]
+    dfs = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    qdf = spark.createDataFrame([(t,) for t in terms], "term string")
+    hits = (
+        tf.join(F.broadcast(qdf), "term")
+        .join(F.broadcast(dfs), "term")
+        .join(dl, "doc_id")
+    )
+    idf = F.log(
+        F.lit(1.0) + (F.lit(float(n)) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    norm = F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("dl") / F.lit(float(avgdl))
+    per_term = (
+        idf
+        * F.col("tf").cast("double")
+        * F.lit(BM25_K1 + 1.0)
+        / (F.col("tf").cast("double") + F.lit(BM25_K1) * norm)
+    )
+    return (
+        hits.groupBy("doc_id")
+        .agg(F.round(F.sum(per_term), 6).alias("score"))
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(10)
+    )
