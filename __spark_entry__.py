@@ -28,10 +28,12 @@ from holi_search_engine_spark.operators import (  # noqa: E402
     multimodal,
     similarity,
     textstats,
+    urlops,
 )
 
 _MODULES = [
     flame_ops, fulltext, dedup, textstats, similarity, events, graph, multimodal,
+    urlops,
 ]
 
 
