@@ -7,7 +7,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from .common import load
+from .common import load, portable_hash32, portable_hash32_sql
 
 QUERIES: dict = {}
 ORACLE: dict[str, str] = {}
@@ -156,3 +156,122 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fingerprint"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-2 additions: repetition detection, PII masking, stratified sampling —
+# the remaining staples of a pretraining-data pipeline.  All pure Catalyst.
+
+_NG = 3  # word n-gram size for the repetition metric
+
+
+@q(
+    "text_repetition",
+    f"""
+    WITH ng AS (
+      SELECT doc_id, array_to_string(toks[i : i + {_NG - 1}], ' ') AS ng
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+            FROM documents),
+           unnest(range(1, greatest(len(toks) - {_NG - 1}, 0) + 1)) AS r(i)
+    )
+    SELECT doc_id, count(*) AS total_ngrams,
+           count(DISTINCT ng) AS distinct_ngrams,
+           round(1 - count(DISTINCT ng)::DOUBLE / count(*), 6) AS dup_frac
+    FROM ng GROUP BY doc_id
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signal: fraction of duplicate word-3-gram
+    occurrences per doc (Rae et al. 2021 §A1.1 quality rules).  High
+    dup_frac marks boilerplate / degenerate repetition for filtering.
+    Map-side n-gram expansion + one groupBy(doc) — no joins, scale-safe
+    (the n-gram stream is ~|tokens| rows, partitioned by doc hash)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n = F.size(toks)
+    idx = F.when(n >= _NG, F.sequence(F.lit(0), n - _NG)).otherwise(
+        F.array().cast("array<int>")
+    )
+    ng = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, _NG)))
+    return (
+        docs.select("doc_id", F.explode(ng).alias("ng"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("total_ngrams"),
+            F.countDistinct("ng").alias("distinct_ngrams"),
+            F.round(1 - F.countDistinct("ng") / F.count("*"), 6).alias("dup_frac"),
+        )
+    )
+
+
+# PII patterns chosen to behave identically under Java regex (Spark) and
+# RE2 (DuckDB): character classes + bounded repetition only, no
+# backreferences or lookaround.
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PHONE_RE = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+#: deterministic PII injection (the corpus itself is PII-free): every 3rd
+#: doc gets an email, every 4th a phone number, derived from doc_id.
+_PII_TEXT_SQL = (
+    "text || (CASE WHEN doc_id % 3 = 0 THEN ' contact user' || (doc_id % 50)"
+    " || '@mail' || (doc_id % 7) || '.example.com' ELSE '' END)"
+    " || (CASE WHEN doc_id % 4 = 0 THEN ' call ' || (100 + doc_id % 900)"
+    " || '-' || (100 + doc_id % 877) || '-' || (1000 + doc_id % 9000) ELSE '' END)"
+)
+
+
+@q(
+    "text_pii_mask",
+    f"""
+    WITH aug AS (SELECT doc_id, {_PII_TEXT_SQL} AS text FROM documents)
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{_EMAIL_RE}')) AS n_emails,
+           len(regexp_extract_all(text, '{_PHONE_RE}')) AS n_phones,
+           regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{_PHONE_RE}', '<PHONE>', 'g') AS masked
+    FROM aug
+    """,
+)
+def text_pii_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: count and mask emails / phone numbers (deterministic
+    injection from doc_id since the corpus is synthetic).  Patterns are
+    Java-regex/RE2-portable; masking is a map-only regexp_replace chain in
+    whole-stage codegen — at 100 TB this runs at scan speed."""
+    docs = load(spark, sf_dir, "documents")
+    aug = docs.select("doc_id", F.expr(_PII_TEXT_SQL).alias("text"))
+    return aug.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(_EMAIL_RE), 0)).cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(_PHONE_RE), 0)).cast("long").alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace("text", _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+        ).alias("masked"),
+    )
+
+
+#: language-rebalancing rates (per-mille): downsample dominant English,
+#: keep tail languages — the standard training-mix knob.
+_STRATA_RATES = {"en": 300, "de": 800, "es": 800, "fr": 800, "zh": 1000}
+_RATE_SQL = (
+    "CASE lang "
+    + " ".join(f"WHEN '{k}' THEN {v}" for k, v in _STRATA_RATES.items())
+    + " ELSE 1000 END"
+)
+
+
+@q(
+    "corpus_stratified_sample",
+    f"""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE {portable_hash32_sql("'smp:' || doc_id")} % 1000 < {_RATE_SQL}
+    """,
+)
+def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified (per-language) sampling via the portable
+    md5 hash — the data-mixing primitive for training-set composition.
+    Hash-gated filter, no shuffle, identical sample at any parallelism
+    (unlike Bernoulli df.sample, which is partition-layout-dependent)."""
+    docs = load(spark, sf_dir, "documents")
+    gate = portable_hash32(F.concat(F.lit("smp:"), F.col("doc_id"))) % 1000
+    return docs.where(gate < F.expr(_RATE_SQL)).select("doc_id", "lang", "source")

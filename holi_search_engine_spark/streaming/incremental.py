@@ -189,6 +189,17 @@ def stream_sessionize(
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+    # Processing-time timeouts are the idle-session close mechanism for a
+    # LIVE stream.  Under availableNow (batch drain) the operator must run
+    # in NoTimeout mode: with ProcessingTimeTimeout the engine's
+    # shouldRunAnotherBatch always requests one more state-cleanup batch
+    # (processing time has always advanced), so a drained query loops
+    # empty ~1s batches ("No new data but cleaning up state") forever
+    # instead of terminating.  The drain's contract is "closed sessions
+    # only; the last session per user stays open in state", which needs
+    # no timeouts.
+    register_timeouts = not available_now
+
     schema = (
         "event_id long, ts timestamp, user_id long, event_type string, "
         "value double, props string"
@@ -243,17 +254,23 @@ def stream_sessionize(
                 cur[3] += v
         if cur is not None:
             state.update(tuple(cur))
-            state.setTimeoutDuration(gap_sec * 1000)
+            if register_timeouts:
+                state.setTimeoutDuration(gap_sec * 1000)
         if closed["user_id"]:
             yield pd.DataFrame(closed)
 
     stream = spark.readStream.schema(schema).parquet(input_dir)
+    timeout_conf = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if register_timeouts
+        else GroupStateTimeout.NoTimeout
+    )
     sessions = stream.groupBy("user_id").applyInPandasWithState(
         assemble,
         out_schema,
         state_schema,
         "append",
-        GroupStateTimeout.ProcessingTimeTimeout,
+        timeout_conf,
     )
     writer = (
         sessions.writeStream.format("parquet")

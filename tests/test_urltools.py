@@ -126,6 +126,60 @@ def test_normalize_ext_filter_precedes_fragment_strip():
     assert got == "http://b.com:80/a/x.png"
 
 
+def test_normalize_sql_fuzz_seeded(spark):
+    """300 seeded random URL-ish (base, link) pairs — structural fuzz over
+    the branch space (protocols, ports, fragments, ../ runs, //, empty
+    segments), batched into one Spark job."""
+    import random
+
+    rng = random.Random(20260817)
+    protos = ["http", "https", "ftp", "h2", ""]
+
+    def rand_path(depth):
+        segs = ["".join(rng.choice("abcz09._-") for _ in range(rng.randint(1, 4)))
+                for _ in range(depth)]
+        return "/" + "/".join(segs) if segs else "/"
+
+    def rand_base():
+        p = rng.choice(protos[:3])  # base always has a protocol (Java NPEs otherwise)
+        port = f":{rng.randint(1, 9999)}" if rng.random() < 0.3 else ""
+        return f"{p}://host{rng.randint(0, 9)}.ex{port}{rand_path(rng.randint(0, 4))}"
+
+    def rand_link():
+        r = rng.random()
+        if r < 0.15:
+            return "../" * rng.randint(1, 6) + "x.html"
+        if r < 0.3:
+            return rand_path(rng.randint(1, 3))[1:]  # relative
+        if r < 0.45:
+            return rand_path(rng.randint(1, 3))      # rooted
+        if r < 0.55:
+            return "//cdn.ex" + rand_path(rng.randint(0, 2))
+        if r < 0.7:
+            p = rng.choice(protos)
+            return f"{p}://abs.ex{rand_path(rng.randint(0, 2))}"
+        if r < 0.8:
+            return rand_path(rng.randint(1, 2)) + "#" + rng.choice(["f", "", "a#b"])
+        if r < 0.9:
+            return rng.choice(["a.jpg", "b.jpeg", "c.png", "d.gif", "e.txt",
+                               "f.jpg#frag", "g.txt?x=1"])
+        return rng.choice(["", "#", "x", ":", "::", "a:b/c"])
+
+    pairs = [(rand_base(), rand_link()) for _ in range(300)]
+    rows = " UNION ALL ".join(
+        f"SELECT {i} AS doc_id, '{b}' AS base_url, '{l}' AS link"
+        for i, (b, l) in enumerate(pairs)
+    )
+    sql = urltools.normalize_sql(f"({rows}) AS src", carry="doc_id")
+    got = {r["doc_id"]: r["normalized"] for r in spark.sql(sql).collect()}
+    bad = {}
+    for i, (b, l) in enumerate(pairs):
+        want = urltools.normalize_url_py(b, l)
+        if got[i] != want:
+            bad[i] = (b, l, got[i], want)
+    assert not bad, dict(list(bad.items())[:5])
+
+
 def test_hasher_alphabet_matches_reference_table():
     # spot-check the generated table against Hasher.java:8-25 entries
     t = hasher.BYTE2CHARS
