@@ -704,3 +704,91 @@ def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets, exact-cosine verification."""
     docs = load(spark, sf_dir, "documents")
     return embedding_near_dup_pairs(docs)
+
+
+# ---------------------------------------------------------------------------
+# Connected components over the near-dup pair graph: the last step of a
+# dedup pipeline — turn pairwise matches into cluster assignments so one
+# canonical doc per cluster survives.
+
+
+def connected_components(pairs: DataFrame, a: str = "doc_a", b: str = "doc_b") -> DataFrame:
+    """Min-label propagation to fixpoint over an undirected pair graph →
+    ``(doc_id, cluster_id)`` with ``cluster_id`` = the smallest doc_id in
+    the component (deterministic at any parallelism).
+
+    Each iteration is one shuffle (edge⋈label + min-agg); lineage is cut
+    per iteration with an eager ``localCheckpoint`` (the PageRank-loop
+    pattern, ``plans/pagerank.py``).  Iterations ~ graph diameter — near-dup
+    components are shallow (stars around a template doc), so this
+    converges in a handful of rounds.  At 10^12-doc scale the same
+    fixpoint is reached in O(log d) rounds with the alternating
+    large-star/small-star rewrite (Kiveris et al., "Connected Components
+    in MapReduce and Beyond", SoCC 2014); the propagation loop here keeps
+    the oracle-checkable form simple.
+    """
+    edges = pairs.select(F.col(a).alias("src"), F.col(b).alias("dst")).union(
+        pairs.select(F.col(b).alias("src"), F.col(a).alias("dst"))
+    )
+    edges = edges.localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("lbl", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    while True:
+        prop = edges.join(labels, edges.src == labels.node).select(
+            F.col("dst").alias("node"), F.col("lbl")
+        )
+        new = (
+            labels.select("node", "lbl")
+            .union(prop)
+            .groupBy("node")
+            .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+        improved = (
+            new.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.lbl") < F.col("o.lbl"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if improved == 0:
+            return labels.select(
+                F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id")
+            )
+
+
+def _register_components_oracle() -> None:
+    """DuckDB twin: transitive min-label reachability as a recursive CTE
+    over the same LSH pair query (UNION-dedup guarantees termination)."""
+    pairs_sql = ORACLE["dedup_lsh_pairs"]
+    ORACLE["dedup_components"] = f"""
+    WITH RECURSIVE pairs_q AS ({pairs_sql}),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs_q
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs_q
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    reach AS (
+      SELECT node, node AS lbl FROM nodes
+      UNION
+      SELECT e.dst AS node, r.lbl FROM edges e JOIN reach r ON r.node = e.src
+    )
+    SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY node
+    """
+
+
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster assignment: LSH candidate pairs (the oracle-checked
+    toy-parameter pipeline) → connected components → (doc_id, cluster_id)."""
+    pairs = dedup_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    return connected_components(pairs)
+
+
+QUERIES["dedup_components"] = dedup_components
+_register_components_oracle()

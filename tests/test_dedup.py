@@ -199,3 +199,27 @@ def test_embedding_near_dup_empty_docs_excluded(spark):
     docs = spark.createDataFrame(rows, "doc_id string, text string")
     got = {(r.doc_a, r.doc_b) for r in embedding_near_dup_pairs(docs, cos_min=0.9).collect()}
     assert got == {("d1", "d2")}
+
+
+def test_connected_components_two_clusters(spark):
+    # two components: a 4-node chain (a-b-c-d) whose min label must
+    # propagate the full diameter, and a 2-node pair; a singleton edge
+    # endpoint keeps its own label
+    from holi_search_engine_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [("b", "c"), ("c", "d"), ("a", "b"), ("x", "y")],
+        "doc_a string, doc_b string",
+    )
+    got = {(r.doc_id, r.cluster_id) for r in connected_components(pairs).collect()}
+    assert got == {
+        ("a", "a"), ("b", "a"), ("c", "a"), ("d", "a"),
+        ("x", "x"), ("y", "x"),
+    }
+
+
+def test_connected_components_empty(spark):
+    from holi_search_engine_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame([], "doc_a string, doc_b string")
+    assert connected_components(pairs).count() == 0
