@@ -53,14 +53,21 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def shingles_of(docs: DataFrame, shingle: int = SHINGLE) -> DataFrame:
-    """Distinct word-n-gram shingles per doc (map-only stage)."""
+    """Distinct word-n-gram shingles per doc (map-only stage).
+
+    Dedup happens inside the row via ``array_distinct`` — the distinct
+    key is (doc_id, shingle), i.e. purely doc-local, so a corpus-wide
+    ``.distinct()`` shuffle would move every shingle string through an
+    exchange to deduplicate rows that all live in the same input row."""
     toks = F.split(F.trim(F.col("text")), r"\s+")
     n = F.size(toks)
     idx = F.when(n >= shingle, F.sequence(F.lit(0), n - shingle)).otherwise(
         F.array().cast("array<int>")
     )
-    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, shingle)))
-    return docs.select("doc_id", F.explode(sh).alias("shingle")).distinct()
+    sh = F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, shingle)))
+    )
+    return docs.select("doc_id", F.explode(sh).alias("shingle"))
 
 
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -77,28 +84,83 @@ _SHINGLES_SQL = f"""
            unnest(range(1, greatest(len(toks) - {SHINGLE - 1}, 0) + 1)) AS r(i)
     )"""
 
-_MINHASH_SQL = f"""
-    mh AS (
-      SELECT doc_id, h.j,
-             min({portable_hash32_sql("j::VARCHAR || ':' || shingle")}) AS minhash
-      FROM shingles, unnest(range(0, {N_HASHES})) AS h(j)
-      GROUP BY doc_id, h.j
+# Universal-hash MinHash family (MMDS §3.3.6): each shingle is md5-hashed
+# ONCE to h ∈ [0, p), then hash j is the affine map (a_j·h + b_j) mod p
+# over the Mersenne prime p = 2³¹−1.  Coefficients derive deterministically
+# from j (md5 of the seed label) and are embedded as plan literals, so the
+# Spark plan and the DuckDB oracle compute bit-identical signatures while
+# paying one crypto hash per shingle instead of n_hashes (the per-seed
+# string-md5 form spent >90% of the pipeline's CPU in md5 at k=128).
+# All intermediates fit int64: a,b,h < 2³¹ → a·h+b < 2⁶².
+_MINHASH_P = 2147483647
+
+
+def _minhash_coeffs(n_hashes: int) -> list[tuple[int, int]]:
+    import hashlib
+
+    out = []
+    for j in range(n_hashes):
+        d = hashlib.md5(f"minhash-seed:{j}".encode()).hexdigest()
+        a = int(d[:8], 16) % (_MINHASH_P - 1) + 1
+        b = int(d[8:16], 16) % _MINHASH_P
+        out.append((a, b))
+    return out
+
+
+def _minhash_sql(n_hashes: int, cte_name: str = "mh") -> str:
+    """DuckDB twin of :func:`minhash_of` (same literals, same modulus)."""
+    coeffs = ", ".join(
+        f"({j}, {a}, {b})" for j, (a, b) in enumerate(_minhash_coeffs(n_hashes))
+    )
+    base = f"(({portable_hash32_sql('shingle')}) % {_MINHASH_P})"
+    return f"""
+    {cte_name} AS (
+      SELECT doc_id, c.j,
+             min((c.a * {base} + c.b) % {_MINHASH_P}) AS minhash
+      FROM shingles, (VALUES {coeffs}) c(j, a, b)
+      GROUP BY doc_id, c.j
     )"""
 
 
+_MINHASH_SQL = _minhash_sql(N_HASHES)
+
+
 def minhash_of(sh: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
-    """(doc_id, j, minhash) for j in [0, n_hashes): shingle → seeded
-    portable hash → min per seed.  One map + one groupBy(doc, j)."""
-    spark = sh.sparkSession
-    seeds = spark.range(n_hashes).select(F.col("id").cast("int").alias("j"))
-    hashed = sh.crossJoin(F.broadcast(seeds)).select(
+    """(doc_id, j, minhash) for j in [0, n_hashes): shingle → one
+    portable 32-bit hash → n_hashes affine maps → min per seed.
+
+    One-pass form: n_hashes min-aggregates over a single groupBy(doc_id)
+    — the shingle stream is scanned once with map-side partial
+    aggregation, instead of being row-amplified ×n_hashes before the
+    shuffle (same lesson as the SimHash one-pass rewrite).  The long
+    (doc_id, j, minhash) shape is recovered by exploding the aggregated
+    row — only docs×n_hashes rows, post-agg."""
+    # the md5 base hash is materialized as a column BEFORE the groupBy:
+    # referencing the expression inside the n_hashes agg inputs would
+    # inline (and re-evaluate) the md5 once per seed — Catalyst does not
+    # CSE across aggregate expressions
+    hashed = sh.select(
         "doc_id",
-        "j",
-        portable_hash32(
-            F.concat(F.col("j").cast("string"), F.lit(":"), F.col("shingle"))
-        ).alias("h"),
+        F.pmod(portable_hash32(F.col("shingle")), F.lit(_MINHASH_P)).alias("_hb"),
     )
-    return hashed.groupBy("doc_id", "j").agg(F.min("h").alias("minhash"))
+    mins = [
+        F.min(
+            F.pmod(F.lit(a) * F.col("_hb") + F.lit(b), F.lit(_MINHASH_P))
+        ).alias(f"_m{j}")
+        for j, (a, b) in enumerate(_minhash_coeffs(n_hashes))
+    ]
+    wide = hashed.groupBy("doc_id").agg(*mins)
+    jm = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"), F.col(f"_m{j}").alias("minhash")
+            )
+            for j in range(n_hashes)
+        ]
+    )
+    return wide.select("doc_id", F.explode(jm).alias("_p")).select(
+        "doc_id", F.col("_p.j").alias("j"), F.col("_p.minhash").alias("minhash")
+    )
 
 
 def _minhash(spark: SparkSession, sh: DataFrame) -> DataFrame:
@@ -132,6 +194,10 @@ def lsh_candidate_pairs(mh: DataFrame, bands: int, rows_per_band: int) -> DataFr
     banded = mh.groupBy(
         "doc_id", F.floor(F.col("j") / rows_per_band).alias("band")
     ).agg(_sig_concat("j", "minhash").alias("band_sig"))
+    # the self-join would otherwise compute the minhash subtree (the
+    # pipeline's dominant agg — n_hashes× row amplification) once per
+    # side; banded is only docs×bands rows, so persist it instead
+    banded = banded.persist()
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
@@ -268,8 +334,11 @@ def dedup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle-Jaccard verification of candidates only.  Oracle-checkable toy
     parameters (8 hashes, 4 bands of 2, no threshold); the production path
     is :func:`lsh_near_dup_pairs` (128 hashes, threshold-tuned banding),
-    same pipeline functions."""
-    sh = _shingles(spark, sf_dir)
+    same pipeline functions.  The shingle stream feeds four consumers, so
+    it is persisted exactly as in the production path — without it the
+    tokenize+explode subtree re-ran per consumer (bench showed a 4-5×
+    wall swing on this entry)."""
+    sh = _shingles(spark, sf_dir).persist()
     mh = _minhash(spark, sh)
     pairs = lsh_candidate_pairs(mh, BANDS, ROWS_PER_BAND)
     return verify_pairs_jaccard(sh, pairs)
@@ -279,13 +348,7 @@ PROD_N_HASHES = 128
 PROD_THRESHOLD = 0.5
 _PROD_BANDS, _PROD_ROWS = 32, 4  # lsh_params_for_threshold(0.5, 128)
 
-_MINHASH_PROD_SQL = f"""
-    mh AS (
-      SELECT doc_id, h.j,
-             min({portable_hash32_sql("j::VARCHAR || ':' || shingle")}) AS minhash
-      FROM shingles, unnest(range(0, {PROD_N_HASHES})) AS h(j)
-      GROUP BY doc_id, h.j
-    )"""
+_MINHASH_PROD_SQL = _minhash_sql(PROD_N_HASHES)
 
 
 @q(
