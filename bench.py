@@ -27,6 +27,11 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 BENCH_CONVS = int(os.environ.get("BENCH_CONVS", "20000"))
 QUERY_PASSES = 3
+# min-of-k repeats per timed section: the shared host's deliverable
+# capacity drifts >2x between identical runs (BENCH/BASELINE.md "Host
+# environment"), so a single sample measures the tenant-contention window
+# more than the engine; min-of-2 is the standard noise-robust statistic
+REPEATS = int(os.environ.get("BENCH_REPEATS", "2"))
 
 
 def main() -> None:
@@ -68,13 +73,16 @@ def main() -> None:
     corpus = spark.read.parquet(corpus_dir)
     n_turns = corpus.count()
     idx_dir = os.environ.get("BENCH_IDX_DIR", "/dev/shm/holi_bench_index")
-    shutil.rmtree(idx_dir, ignore_errors=True)
-    t0 = time.time()
-    paths = build_index(
-        spark, corpus, idx_dir, dictionary, buckets=8, build_blocks=True,
-        build_postings_table=False,  # the block index IS the index
-    )
-    timings["index_build"] = time.time() - t0
+    walls = []
+    for _ in range(REPEATS):
+        shutil.rmtree(idx_dir, ignore_errors=True)
+        t0 = time.time()
+        paths = build_index(
+            spark, corpus, idx_dir, dictionary, buckets=8, build_blocks=True,
+            build_postings_table=False,  # the block index IS the index
+        )
+        walls.append(time.time() - t0)
+    timings["index_build"] = min(walls)
     extra["n_turns"] = float(n_turns)
     extra["turns_per_sec"] = n_turns / timings["index_build"]
     shutil.rmtree(corpus_dir, ignore_errors=True)
@@ -112,9 +120,16 @@ def main() -> None:
 
     # ---- representative operator queries over the driver's sf tables
     def run(name: str, fn) -> None:
-        t = time.time()
-        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        timings[name] = time.time() - t
+        walls = []
+        for _ in range(REPEATS):
+            # drop persisted intermediates: Spark's CacheManager matches
+            # identical plans, so without this a repeat measures cache
+            # reads instead of the pipeline
+            spark.catalog.clearCache()
+            t = time.time()
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            walls.append(time.time() - t)
+        timings[name] = min(walls)
 
     run("search_topk", fulltext.QUERIES["search_topk"])
     run("index_postings", fulltext.QUERIES["index_postings"])
@@ -137,7 +152,10 @@ def main() -> None:
                 "notes": {
                     "search_topk": "self-contained oracle form: tokenizes "
                     "the sf corpus inside the query; NOT query latency — "
-                    "that is query_p95_ms/bm25_p95_ms over the prebuilt index"
+                    "that is query_p95_ms/bm25_p95_ms over the prebuilt index",
+                    "timing": f"each section is min of {REPEATS} repeats "
+                    "(cold cache): the shared host drifts >2x between "
+                    "identical runs, see BENCH/BASELINE.md",
                 },
             }
         )
