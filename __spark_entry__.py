@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from holi_search_engine_spark.operators import (  # noqa: E402
+    curation,
     dedup,
     events,
     flame_ops,
@@ -33,7 +34,7 @@ from holi_search_engine_spark.operators import (  # noqa: E402
 
 _MODULES = [
     flame_ops, fulltext, dedup, textstats, similarity, events, graph, multimodal,
-    urlops,
+    urlops, curation,
 ]
 
 
