@@ -179,3 +179,42 @@ def events_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(pdf, schema=sessions.schema)
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+@q(
+    "events_stream_dedup",
+    """
+    SELECT event_id, user_id, event_type, round(value, 2) AS value
+    FROM events
+    """,
+)
+def events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup (``dropDuplicatesWithinWatermark``) as a
+    driver-checked entry: the events table is re-emitted with every 50th
+    event DUPLICATED (same payload, so the input genuinely contains
+    re-deliveries — without seeding, the table's unique event_ids would
+    make the check vacuous), streamed through the dedup operator under
+    ``availableNow``, and the output must equal the original table — the
+    oracle is the batch ``distinct()`` twin over the same rows."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming.incremental import stream_dedup
+
+    base = tempfile.mkdtemp(prefix="holi_stream_dedup_")
+    inbox = os.path.join(base, "in")
+    out, ckpt = os.path.join(base, "out"), os.path.join(base, "ckpt")
+    try:
+        events = load(spark, sf_dir, "events")
+        dupes = events.where(F.col("event_id") % 50 == 0)
+        events.unionByName(dupes).coalesce(2).write.parquet(inbox)
+        q_ = stream_dedup(spark, inbox, out, ckpt)
+        q_.awaitTermination(600)
+        deduped = spark.read.parquet(out).select(
+            "event_id", "user_id", "event_type", F.round("value", 2).alias("value")
+        )
+        pdf = deduped.toPandas()
+        return spark.createDataFrame(pdf, schema=deduped.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

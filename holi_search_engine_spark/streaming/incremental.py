@@ -281,3 +281,41 @@ def stream_sessionize(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_dedup(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "1 hour",
+    available_now: bool = True,
+):
+    """Streaming exact dedup: drop re-deliveries of the same ``event_id``
+    arriving within the watermark window (``dropDuplicatesWithinWatermark``
+    — the at-least-once → effectively-once repair stage in front of any
+    downstream streaming aggregation).
+
+    State is one entry per event_id seen inside the watermark horizon and
+    is evicted as the watermark advances — bounded by arrival rate ×
+    horizon, not by stream length; it shards across executors on the
+    dedup key like any stateful operator.  The batch twin is plain
+    ``distinct()`` (the driver entry's oracle).
+    """
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+    deduped = stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    writer = (
+        deduped.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -160,3 +160,44 @@ def test_stream_sessionize_stateful(spark, tmp_path):
     closed2 = got[got["user_id"] == 2]
     assert len(closed2) == 1
     assert (closed2.iloc[0]["n_events"], closed2.iloc[0]["total_value"]) == (1, 10.0)
+
+
+def test_stream_dedup_across_batches(spark, tmp_path):
+    # e2 is re-delivered in a LATER file (a separate micro-batch under
+    # availableNow's file ordering) within the watermark window: state
+    # carried across batches must drop it; e4's id is new and survives
+    import datetime as dt
+
+    from holi_search_engine_spark.streaming.incremental import stream_dedup
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    batch1 = spark.createDataFrame(
+        [
+            (1, t0, 10, "click", 1.0, "{}"),
+            (2, t0 + dt.timedelta(minutes=1), 10, "click", 2.0, "{}"),
+        ],
+        schema,
+    )
+    batch2 = spark.createDataFrame(
+        [
+            (2, t0 + dt.timedelta(minutes=2), 10, "click", 2.0, "{}"),  # dupe
+            (4, t0 + dt.timedelta(minutes=3), 11, "view", 4.0, "{}"),
+        ],
+        schema,
+    )
+    inbox = tmp_path / "in"
+    inbox.mkdir()
+    batch1.coalesce(1).write.parquet(str(inbox / "f1.parquet"))
+    batch2.coalesce(1).write.parquet(str(inbox / "f2.parquet"))
+    q = stream_dedup(
+        spark, str(inbox / "*"), str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(300)
+    got = sorted(
+        r.event_id for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    )
+    assert got == [1, 2, 4]
