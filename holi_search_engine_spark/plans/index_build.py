@@ -598,11 +598,34 @@ def _build_index_inner(
             buckets=buckets,
         )
         wall = time.time() - t
+        # per-bucket lineage metrics off the WRITTEN table (north-rule
+        # checkpoint contract: row-count/term-count per partition rides
+        # the manifest, so a resume can audit what each bucket holds
+        # without recomputing) — one pruned scan of the small block table
+        bstats = {
+            int(r["bucket"]): r
+            for r in read_table(spark, paths.blocks)
+            .where(F.col("bucket").isin(list(blocks_remaining)))
+            .groupBy("bucket")
+            .agg(
+                F.countDistinct("term").alias("n_terms"),
+                F.count(F.lit(1)).alias("n_blocks"),
+                F.sum("n").alias("n_postings"),
+            )
+            .collect()
+        }
         for b in blocks_remaining:
+            r = bstats.get(b)
             _manifest_write(
                 paths,
                 "blocks",
-                {"bucket": b, "wall_sec": wall / len(blocks_remaining)},
+                {
+                    "bucket": b,
+                    "wall_sec": wall / len(blocks_remaining),
+                    "n_terms": int(r["n_terms"]) if r else 0,
+                    "n_blocks": int(r["n_blocks"]) if r else 0,
+                    "n_postings": int(r["n_postings"]) if r else 0,
+                },
                 bucket=b,
             )
 
