@@ -286,3 +286,28 @@ def test_resume_legacy_term_tf_without_stats(spark, xs_df, dictionary, tmp_path)
     assert (got["conv_id"] == expected["conv_id"]).all()
     assert np.allclose(got["ntf"], expected["ntf"])
     assert (got["dl"].to_numpy() == expected["dl"].to_numpy()).all()
+
+
+def test_salted_postings_zipf_head_term(spark):
+    # a head term present in EVERY doc: the salted two-phase assembly must
+    # return one complete, doc-ordered posting list identical to a plain
+    # single-phase groupBy, at any salt and any input partitioning
+    from pyspark.sql import functions as F
+
+    from holi_search_engine_spark.plans.index_build import build_postings
+
+    rows = [(f"conv-{i:08d}", i % 7, "the", 1 + (i % 3)) for i in range(500)]
+    rows += [(f"conv-{i:08d}", i % 7, f"rare{i}", 1) for i in range(0, 500, 50)]
+    tf = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, term string, tf int"
+    ).repartition(13)
+
+    got = {
+        r["term"]: (r["df"], [tuple(p) for p in r["postings"]])
+        for r in build_postings(tf, ["conv_id", "turn_idx"], salt=4).collect()
+    }
+    assert got["the"][0] == 500
+    expect = sorted((f"conv-{i:08d}", i % 7, 1 + (i % 3)) for i in range(500))
+    assert got["the"][1] == expect
+    # rare terms survive alongside the head term
+    assert got["rare0"] == (1, [("conv-00000000", 0, 1)])
