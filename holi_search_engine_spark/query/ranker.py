@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import math
 import os
+from collections import OrderedDict
 from dataclasses import dataclass
 
 import numpy as np
@@ -92,6 +93,9 @@ class RankerEngine:
         self._wmetric: dict[str, float] | None = None
         self._ntf: pd.Series | None = None
         self._meta_pdf: pd.DataFrame | None = None
+        self._postings_cache: OrderedDict[str, tuple[np.ndarray, np.ndarray]] = (
+            OrderedDict()
+        )
         self.preloaded = _should_preload(paths, preload, preload_max_bytes)
         if self.preloaded:
             self._preload()
@@ -120,8 +124,27 @@ class RankerEngine:
         )
         self._meta_pdf = dm.set_index("doc_key")
 
+    #: decoded-postings LRU capacity (terms).  Zipf-head terms (stopword
+    #: fallback queries) dominate decode cost and repeat across queries;
+    #: a small cache of decoded lists is the standard ranker-node move
+    #: (cf. Lucene's LRUQueryCache) and bounds memory to
+    #: O(cache × longest list), independent of corpus size.
+    POSTINGS_CACHE = 256
+
     def _term_postings(self, term: str) -> tuple[np.ndarray, np.ndarray]:
-        """Doc-ordered (keys, tfs) for a term; empty arrays if absent."""
+        """Doc-ordered (keys, tfs) for a term; empty arrays if absent.
+        Decoded lists are LRU-cached per engine instance."""
+        cached = self._postings_cache.get(term)
+        if cached is not None:
+            self._postings_cache.move_to_end(term)
+            return cached
+        out = self._term_postings_uncached(term)
+        self._postings_cache[term] = out
+        if len(self._postings_cache) > self.POSTINGS_CACHE:
+            self._postings_cache.popitem(last=False)
+        return out
+
+    def _term_postings_uncached(self, term: str) -> tuple[np.ndarray, np.ndarray]:
         if self._blocks is not None:
             g = self._blocks.get(term)
             if g is None:
