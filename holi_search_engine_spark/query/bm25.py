@@ -6,17 +6,18 @@ at index build — see ``plans/compression.py``) and document-at-a-time WAND
 with per-block upper bounds, so hot terms' posting lists are skipped in
 block units rather than decoded in full.
 
-Correctness: pivot selection uses each cursor's SUFFIX-max block bound
-(valid for every remaining doc); the current block's own bound is only
-used as the tighter block-max refinement at the pivot.  Pruning uses
-``< θ`` (not ``≤``) so exact score ties still resolve by the doc-asc
-tie-break, making the top-k exactly equal to brute force —
-``tests/test_bm25.py`` asserts doc-and-score equality.
+The skipping scorer is a block-RANGE sweep (document-at-a-time at block
+granularity): the key space is consumed in ranges bounded by the earliest
+current-block end across the query's terms; a range whose summed
+block-max bounds cannot reach θ is skipped without decoding, otherwise
+its blocks decode once and score vectorized.  Python work is O(blocks),
+not O(postings).  Pruning uses ``< θ`` (not ``≤``) so exact score ties
+still resolve by the doc-asc tie-break, making the top-k exactly equal
+to brute force — ``tests/test_bm25.py`` asserts doc-and-score equality.
 """
 
 from __future__ import annotations
 
-import heapq
 import math
 import re
 
@@ -33,7 +34,6 @@ from ..plans.compression import (
 )
 from ..plans.index_build import IndexPaths, read_meta
 
-INF = np.iinfo(np.int64).max
 _RE_PUNCT = re.compile(r"[.,:;!?'\"\(\)-]")
 
 
@@ -58,13 +58,15 @@ class _NormLookup:
         return self.vals[np.minimum(idx, len(self.vals) - 1)]
 
 
-class _Cursor:
-    """Posting cursor over one term's block list; decodes lazily per block."""
+class _TermSweep:
+    """Per-term state for the block-range sweep: block metadata arrays,
+    lazy block decode (with floor slicing for partially skipped blocks),
+    and a consumption offset within the decoded block."""
 
     __slots__ = (
-        "key_max_arr", "ub_arr", "suffix_ub", "doc_bytes", "tf_bytes",
+        "key_min_arr", "key_max_arr", "ub_arr", "doc_bytes", "tf_bytes",
         "weight", "dl_norm", "n_blocks", "bi", "keys", "scores", "pos",
-        "decode_counter",
+        "floor", "decode_counter",
     )
 
     def __init__(
@@ -74,78 +76,81 @@ class _Cursor:
         dl_norm: "_NormLookup",
         decode_counter: list[int] | None = None,
     ) -> None:
+        self.key_min_arr = blocks["key_min"].to_numpy(dtype=np.int64)
         self.key_max_arr = blocks["key_max"].to_numpy(dtype=np.int64)
         self.ub_arr = blocks["ub_bm25"].to_numpy(dtype=np.float64)
-        # suffix max: ub valid for ALL docs at or after block i
-        self.suffix_ub = np.maximum.accumulate(self.ub_arr[::-1])[::-1]
         self.doc_bytes = blocks["doc_bytes"].tolist()
         self.tf_bytes = blocks["tf_bytes"].tolist()
         self.weight = weight
         self.dl_norm = dl_norm
         self.n_blocks = len(blocks)
+        self.bi = 0
         self.keys: np.ndarray | None = None
         self.scores: np.ndarray | None = None
         self.pos = 0
-        self.bi = self.n_blocks
+        # keys ≤ floor of the CURRENT block were skipped while the block
+        # was still encoded; applied as a slice if the block decodes later
+        self.floor = -1
         self.decode_counter = decode_counter if decode_counter is not None else [0]
-        if self.n_blocks:
-            self._load_block(0)
-
-    def _load_block(self, bi: int) -> None:
-        self.bi = bi
-        self.decode_counter[0] += 1
-        keys, tfs = decode_block(self.doc_bytes[bi], self.tf_bytes[bi])
-        self.keys = keys.astype(np.int64)
-        tf = tfs.astype(np.float64)
-        norm = self.dl_norm(self.keys)
-        self.scores = self.weight * tf * (BM25_K1 + 1.0) / (tf + BM25_K1 * norm)
-        self.pos = 0
 
     def exhausted(self) -> bool:
         return self.bi >= self.n_blocks
 
-    def cur_doc(self) -> int:
-        return INF if self.bi >= self.n_blocks else int(self.keys[self.pos])
+    def block_min(self) -> int:
+        return int(self.key_min_arr[self.bi])
 
-    def tail_ub(self) -> float:
-        """Bound on this term's score for any doc ≥ cur_doc()."""
-        if self.bi >= self.n_blocks:
-            return 0.0
-        return self.weight * float(self.suffix_ub[self.bi])
+    def block_max(self) -> int:
+        return int(self.key_max_arr[self.bi])
 
     def block_ub(self) -> float:
-        """Bound for docs within the current block only."""
-        if self.bi >= self.n_blocks:
-            return 0.0
         return self.weight * float(self.ub_arr[self.bi])
 
-    def block_covers(self, doc: int) -> bool:
-        return self.bi < self.n_blocks and doc <= int(self.key_max_arr[self.bi])
+    def advance_block(self) -> None:
+        self.bi += 1
+        self.keys = None
+        self.scores = None
+        self.pos = 0
+        self.floor = -1
 
-    def next_geq(self, target: int) -> None:
-        """Advance to the first posting ≥ target; skips whole blocks via
-        key_max metadata without decoding."""
-        if self.bi >= self.n_blocks:
+    def ensure_decoded(self) -> None:
+        if self.keys is not None:
             return
-        if int(self.key_max_arr[self.bi]) >= target:
-            if int(self.keys[self.pos]) >= target:
-                return
-            self.pos = int(np.searchsorted(self.keys, target, side="left"))
-            if self.pos < len(self.keys):
-                return
-            nxt = self.bi + 1  # unreachable in practice (key_max >= target)
-        else:
-            nxt = int(np.searchsorted(self.key_max_arr, target, side="left"))
-        if nxt >= self.n_blocks:
-            self.bi = self.n_blocks
-            return
-        self._load_block(nxt)
-        self.pos = int(np.searchsorted(self.keys, target, side="left"))
+        self.decode_counter[0] += 1
+        keys, tfs = decode_block(self.doc_bytes[self.bi], self.tf_bytes[self.bi])
+        self.keys = keys.astype(np.int64)
+        tf = tfs.astype(np.float64)
+        norm = self.dl_norm(self.keys)
+        self.scores = self.weight * tf * (BM25_K1 + 1.0) / (tf + BM25_K1 * norm)
+        self.pos = (
+            int(np.searchsorted(self.keys, self.floor, side="right"))
+            if self.floor >= 0
+            else 0
+        )
 
-    def score_at(self, doc: int) -> float:
-        if self.bi < self.n_blocks and int(self.keys[self.pos]) == doc:
-            return float(self.scores[self.pos])
-        return 0.0
+    def skip_through(self, end: int) -> None:
+        """Mark postings ≤ end consumed WITHOUT decoding; advance if the
+        whole block is behind ``end``."""
+        if self.block_max() <= end:
+            self.advance_block()
+        elif self.block_min() <= end:
+            if self.keys is not None:
+                self.pos = int(np.searchsorted(self.keys, end, side="right"))
+            else:
+                self.floor = max(self.floor, end)
+
+    def take_through(self, end: int) -> tuple[np.ndarray, np.ndarray] | None:
+        """Decode (if needed) and consume postings ≤ end; returns the
+        (keys, scores) slice, or None when the block starts after end."""
+        if self.block_min() > end:
+            return None
+        self.ensure_decoded()
+        hi = int(np.searchsorted(self.keys, end, side="right"))
+        lo = self.pos
+        self.pos = hi
+        out = (self.keys[lo:hi], self.scores[lo:hi])
+        if self.block_max() <= end:
+            self.advance_block()
+        return out
 
 
 class BM25Engine:
@@ -340,66 +345,72 @@ class BM25Engine:
         self._ensure_terms(terms)
         term_blocks = [(t, self._term_blocks(t)) for t in terms]
         total = sum(self._term_df(t) for t, g in term_blocks if g is not None)
-        if total > self.TAAT_THRESHOLD:
+        n_live = sum(1 for _, g in term_blocks if g is not None)
+        # single-term queries: block-max bounds cannot prune (every block
+        # of the one list is a candidate until the heap fills with ITS own
+        # scores), so WAND degenerates to a per-posting Python loop; the
+        # vectorized exhaustive path is exact and ~100x cheaper per posting
+        if total > self.TAAT_THRESHOLD or n_live <= 1:
             return self.search_bruteforce(query, k)
-        cursors = [
-            _Cursor(g, self._weight(t), self._dl_norm, self._decode_counter)
+        sweeps = [
+            _TermSweep(g, self._weight(t), self._dl_norm, self._decode_counter)
             for t, g in term_blocks
             if g is not None
         ]
-        cursors = [c for c in cursors if not c.exhausted()]
-        if not cursors:
+        sweeps = [s for s in sweeps if not s.exhausted()]
+        if not sweeps:
             return self._to_frame([])
-        heap: list[tuple[float, int]] = []  # (score, -doc), min-heap of k best
+
+        # Block-range sweep (document-at-a-time at BLOCK granularity):
+        # repeatedly take the key range [.., end] up to the earliest
+        # current-block end across live terms.  Every posting ≤ end lives
+        # in the terms' CURRENT blocks (earlier blocks are consumed,
+        # later blocks start after end), so the range's score bound is the
+        # sum of the overlapping blocks' block-max bounds — if it cannot
+        # reach θ the whole range is skipped WITHOUT decoding; otherwise
+        # the range is decoded and scored vectorized (per-doc totals via
+        # one unique+add.at, top-k via one lexsort).  Python work is
+        # O(total blocks), not O(total postings) — the per-doc WAND pivot
+        # loop this replaces cost ~8µs/posting and dominated query p95.
+        top_keys = np.empty(0, dtype=np.int64)
+        top_scores = np.empty(0, dtype=np.float64)
         theta = -math.inf
 
-        def push(doc: int, score: float) -> None:
-            nonlocal theta
-            item = (score, -doc)
-            if len(heap) < k:
-                heapq.heappush(heap, item)
-                if len(heap) == k:
-                    theta = heap[0][0]
-            elif item > heap[0]:
-                heapq.heapreplace(heap, item)
-                theta = heap[0][0]
+        def fold_topk(uk: np.ndarray, agg: np.ndarray) -> None:
+            nonlocal top_keys, top_scores, theta
+            ks = np.concatenate([top_keys, uk])
+            sc = np.concatenate([top_scores, agg])
+            order = np.lexsort((ks, -sc))[:k]
+            top_keys, top_scores = ks[order], sc[order]
+            if len(top_keys) == k:
+                theta = float(top_scores[-1])
 
         while True:
-            live = [c for c in cursors if not c.exhausted()]
+            live = [s for s in sweeps if not s.exhausted()]
             if not live:
                 break
-            live.sort(key=_Cursor.cur_doc)
-            # pivot: shortest prefix whose suffix bounds can reach θ
-            acc = 0.0
-            pivot_idx = None
-            for i, c in enumerate(live):
-                acc += c.tail_ub()
-                if acc >= theta:  # >= so exact ties can still win by doc asc
-                    pivot_idx = i
-                    break
-            if pivot_idx is None:
-                break
-            pivot = live[pivot_idx].cur_doc()
-            if live[0].cur_doc() == pivot:
-                # align all cursors before the pivot, then refine the bound
-                # with the blocks actually containing it
-                for c in live[:pivot_idx]:
-                    c.next_geq(pivot)
-                bound = 0.0
-                for c in live:
-                    if c.cur_doc() > pivot and not c.block_covers(pivot):
-                        continue
-                    bound += c.block_ub()
-                if bound >= theta:
-                    score = sum(c.score_at(pivot) for c in live)
-                    push(pivot, score)
-                for c in live:
-                    if c.cur_doc() == pivot:
-                        c.next_geq(pivot + 1)
+            end = min(s.block_max() for s in live)
+            bound = sum(s.block_ub() for s in live if s.block_min() <= end)
+            if len(top_keys) == k and bound < theta:
+                # < θ strictly: ranges that could TIE still decode, so the
+                # doc-asc tie-break stays exactly equal to brute force
+                for s in live:
+                    s.skip_through(end)
+                continue
+            pieces = [p for s in live for p in (s.take_through(end),) if p is not None]
+            kparts = [p[0] for p in pieces if len(p[0])]
+            if not kparts:
+                continue
+            if len(kparts) == 1:
+                uk, agg = kparts[0], [p[1] for p in pieces if len(p[0])][0]
             else:
-                live[0].next_geq(pivot)
-        top = sorted(((s, -negd) for s, negd in heap), key=lambda kv: (-kv[0], kv[1]))
-        return self._to_frame([(d, s) for s, d in top])
+                keys_cat = np.concatenate(kparts)
+                sc_cat = np.concatenate([p[1] for p in pieces if len(p[0])])
+                uk, inv = np.unique(keys_cat, return_inverse=True)
+                agg = np.zeros(len(uk), dtype=np.float64)
+                np.add.at(agg, inv, sc_cat)
+            fold_topk(uk, agg)
+        return self._to_frame(list(zip(top_keys.tolist(), top_scores.tolist())))
 
     def _to_frame(self, pairs: list[tuple[int, float]]) -> pd.DataFrame:
         if not pairs:
