@@ -278,9 +278,12 @@ class RankerEngine:
         if not len(cands):
             return self._empty_result()
         # pre-rank: occurrence desc, doc key asc (normalized tie-break), cut 250
-        cands = cands.sort_values(
-            ["occurrence", "doc_key"], ascending=[False, True], kind="mergesort"
-        ).head(TOP_CUT)
+        # (np.lexsort on the two int columns — pandas' multi-key
+        # sort_values factorizes every column and dominated tail latency)
+        order = np.lexsort(
+            (cands["doc_key"].to_numpy(), -cands["occurrence"].to_numpy())
+        )[:TOP_CUT]
+        cands = cands.iloc[order]
         keys = cands["doc_key"].to_numpy(dtype=np.int64)
         ntf = self._ntf_for(keys)
         # qtf over ALL raw query words incl. stopwords (Ranker.java:207-210)
@@ -329,9 +332,9 @@ class RankerEngine:
                 "score": score,
             }
         )
-        out = out.sort_values(
-            ["score", "doc_key"], ascending=[False, True], kind="mergesort"
-        ).reset_index(drop=True)
+        out = out.iloc[
+            np.lexsort((out["doc_key"].to_numpy(), -out["score"].to_numpy()))
+        ].reset_index(drop=True)
         if limit is not None:
             out = out.head(limit)
         doc_cols_pdf = doc_key_to_cols(out["doc_key"].to_numpy(dtype=np.int64), self.doc_cols)
