@@ -91,32 +91,42 @@ def main() -> None:
     engine = RankerEngine(spark, paths, preload=True)
     queries = make_query_fixtures(vocab)
     lat: list[float] = []
+    warm: list[float] = []
     t0 = time.time()
-    for _ in range(QUERY_PASSES):
+    for p in range(QUERY_PASSES):
         for _, qtext in queries:
             tq = time.time()
             engine.search(qtext)
-            lat.append(time.time() - tq)
+            (lat if p == 0 else warm).append(time.time() - tq)
+    lat = lat + warm
     timings["query_all_passes"] = time.time() - t0
     lat.sort()
+    warm.sort()
     extra["query_p95_ms"] = 1000 * lat[int(0.95 * len(lat)) - 1]
     extra["query_mean_ms"] = 1000 * sum(lat) / len(lat)
+    # steady-state view: pass-0 pays the lazy decode of each term's
+    # blocks; production ranker nodes run warm
+    extra["query_p95_warm_ms"] = 1000 * warm[int(0.95 * len(warm)) - 1]
 
     # BM25 block-max WAND latency over the same index/query set
     from holi_search_engine_spark.query.bm25 import BM25Engine
 
     bm25 = BM25Engine(spark, paths)
     blat: list[float] = []
+    bwarm: list[float] = []
     t0 = time.time()
-    for _ in range(QUERY_PASSES):
+    for p in range(QUERY_PASSES):
         for _, qtext in queries:
             tq = time.time()
             bm25.search(qtext, k=10)
-            blat.append(time.time() - tq)
+            (blat if p == 0 else bwarm).append(time.time() - tq)
+    blat = blat + bwarm
     timings["bm25_all_passes"] = time.time() - t0
     blat.sort()
+    bwarm.sort()
     extra["bm25_p95_ms"] = 1000 * blat[int(0.95 * len(blat)) - 1]
     extra["bm25_mean_ms"] = 1000 * sum(blat) / len(blat)
+    extra["bm25_p95_warm_ms"] = 1000 * bwarm[int(0.95 * len(bwarm)) - 1]
 
     # ---- representative operator queries over the driver's sf tables
     def run(name: str, fn) -> None:
