@@ -153,6 +153,59 @@ class _TermSweep:
         return out
 
 
+def block_sweep_topk(sweeps: list[_TermSweep], k: int) -> list[tuple[int, float]]:
+    """Exact top-k over a set of term sweeps via the block-range sweep
+    (document-at-a-time at BLOCK granularity).
+
+    Repeatedly take the key range [.., end] up to the earliest
+    current-block end across live terms.  Every posting ≤ end lives in
+    the terms' CURRENT blocks (earlier blocks are consumed, later blocks
+    start after end), so the range's score bound is the sum of the
+    overlapping blocks' block-max bounds — if it cannot reach θ the whole
+    range is skipped WITHOUT decoding; otherwise the range is decoded and
+    scored vectorized (per-doc totals via one unique+add.at, top-k via
+    one lexsort).  Python work is O(total blocks), not O(total postings)
+    — the per-doc WAND pivot loop this replaced cost ~8µs/posting and
+    dominated query p95.  Exactness (incl. the doc-asc tie-break) is
+    property-tested against brute force in ``tests/test_bm25.py``.
+    """
+    top_keys = np.empty(0, dtype=np.int64)
+    top_scores = np.empty(0, dtype=np.float64)
+    theta = -math.inf
+
+    while True:
+        live = [s for s in sweeps if not s.exhausted()]
+        if not live:
+            break
+        end = min(s.block_max() for s in live)
+        bound = sum(s.block_ub() for s in live if s.block_min() <= end)
+        if len(top_keys) == k and bound < theta:
+            # < θ strictly: ranges that could TIE still decode, so the
+            # doc-asc tie-break stays exactly equal to brute force
+            for s in live:
+                s.skip_through(end)
+            continue
+        pieces = [p for s in live for p in (s.take_through(end),) if p is not None]
+        kparts = [p[0] for p in pieces if len(p[0])]
+        if not kparts:
+            continue
+        if len(kparts) == 1:
+            uk, agg = kparts[0], [p[1] for p in pieces if len(p[0])][0]
+        else:
+            keys_cat = np.concatenate(kparts)
+            sc_cat = np.concatenate([p[1] for p in pieces if len(p[0])])
+            uk, inv = np.unique(keys_cat, return_inverse=True)
+            agg = np.zeros(len(uk), dtype=np.float64)
+            np.add.at(agg, inv, sc_cat)
+        ks = np.concatenate([top_keys, uk])
+        sc = np.concatenate([top_scores, agg])
+        order = np.lexsort((ks, -sc))[:k]
+        top_keys, top_scores = ks[order], sc[order]
+        if len(top_keys) == k:
+            theta = float(top_scores[-1])
+    return list(zip(top_keys.tolist(), top_scores.tolist()))
+
+
 class BM25Engine:
     """Driver-side BM25 engine over a built index.
 
@@ -360,57 +413,7 @@ class BM25Engine:
         sweeps = [s for s in sweeps if not s.exhausted()]
         if not sweeps:
             return self._to_frame([])
-
-        # Block-range sweep (document-at-a-time at BLOCK granularity):
-        # repeatedly take the key range [.., end] up to the earliest
-        # current-block end across live terms.  Every posting ≤ end lives
-        # in the terms' CURRENT blocks (earlier blocks are consumed,
-        # later blocks start after end), so the range's score bound is the
-        # sum of the overlapping blocks' block-max bounds — if it cannot
-        # reach θ the whole range is skipped WITHOUT decoding; otherwise
-        # the range is decoded and scored vectorized (per-doc totals via
-        # one unique+add.at, top-k via one lexsort).  Python work is
-        # O(total blocks), not O(total postings) — the per-doc WAND pivot
-        # loop this replaces cost ~8µs/posting and dominated query p95.
-        top_keys = np.empty(0, dtype=np.int64)
-        top_scores = np.empty(0, dtype=np.float64)
-        theta = -math.inf
-
-        def fold_topk(uk: np.ndarray, agg: np.ndarray) -> None:
-            nonlocal top_keys, top_scores, theta
-            ks = np.concatenate([top_keys, uk])
-            sc = np.concatenate([top_scores, agg])
-            order = np.lexsort((ks, -sc))[:k]
-            top_keys, top_scores = ks[order], sc[order]
-            if len(top_keys) == k:
-                theta = float(top_scores[-1])
-
-        while True:
-            live = [s for s in sweeps if not s.exhausted()]
-            if not live:
-                break
-            end = min(s.block_max() for s in live)
-            bound = sum(s.block_ub() for s in live if s.block_min() <= end)
-            if len(top_keys) == k and bound < theta:
-                # < θ strictly: ranges that could TIE still decode, so the
-                # doc-asc tie-break stays exactly equal to brute force
-                for s in live:
-                    s.skip_through(end)
-                continue
-            pieces = [p for s in live for p in (s.take_through(end),) if p is not None]
-            kparts = [p[0] for p in pieces if len(p[0])]
-            if not kparts:
-                continue
-            if len(kparts) == 1:
-                uk, agg = kparts[0], [p[1] for p in pieces if len(p[0])][0]
-            else:
-                keys_cat = np.concatenate(kparts)
-                sc_cat = np.concatenate([p[1] for p in pieces if len(p[0])])
-                uk, inv = np.unique(keys_cat, return_inverse=True)
-                agg = np.zeros(len(uk), dtype=np.float64)
-                np.add.at(agg, inv, sc_cat)
-            fold_topk(uk, agg)
-        return self._to_frame(list(zip(top_keys.tolist(), top_scores.tolist())))
+        return self._to_frame(block_sweep_topk(sweeps, k))
 
     def _to_frame(self, pairs: list[tuple[int, float]]) -> pd.DataFrame:
         if not pairs:

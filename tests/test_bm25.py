@@ -112,3 +112,70 @@ def test_auto_degraded_mode_identical(spark, built_index, bm25, vocabulary):
             deg.search_bruteforce(q, 10), bm25.search_bruteforce(q, 10), qid
         )
     assert deg.total_blocks("the") == bm25.total_blocks("the")
+
+
+# ---------------------------------------------------------------- property
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _make_sweep(postings, weight, block_size, counter):
+    """Encode a (doc -> tf) dict into a blocks frame and wrap a _TermSweep."""
+    import pandas as pd
+
+    from holi_search_engine_spark.plans.compression import BM25_K1, encode_block
+    from holi_search_engine_spark.query.bm25 import _NormLookup, _TermSweep
+
+    keys = np.array(sorted(postings), dtype=np.uint64)
+    tfs = np.array([postings[k] for k in sorted(postings)], dtype=np.uint64)
+    rows = []
+    for bno, s in enumerate(range(0, len(keys), block_size)):
+        bk, bt = keys[s : s + block_size], tfs[s : s + block_size]
+        db, tb = encode_block(bk, bt)
+        ub = float(np.max(bt * (BM25_K1 + 1.0) / (bt + BM25_K1)))
+        rows.append((bno, len(bk), int(bk[0]), int(bk[-1]), ub, db, tb))
+    blocks = pd.DataFrame(
+        rows,
+        columns=["block_no", "n", "key_min", "key_max", "ub_bm25", "doc_bytes", "tf_bytes"],
+    )
+    norms = _NormLookup(np.array([0], dtype=np.int64), np.array([1.0]))
+    return _TermSweep(blocks, weight, norms, counter)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    terms=st.lists(
+        st.tuples(
+            st.dictionaries(  # doc -> tf
+                st.integers(min_value=0, max_value=40),
+                st.integers(min_value=1, max_value=5),
+                min_size=1,
+                max_size=30,
+            ),
+            st.floats(min_value=0.05, max_value=4.0, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=4,
+    ),
+    k=st.integers(min_value=1, max_value=12),
+    block_size=st.integers(min_value=1, max_value=6),
+)
+def test_block_sweep_matches_bruteforce_property(terms, k, block_size):
+    """The sweep must equal brute force exactly — scores AND the doc-asc
+    tie-break — on arbitrary posting sets, weights, k, and block sizes
+    (tiny blocks force many ranges, partial consumption, and floor skips)."""
+    from holi_search_engine_spark.plans.compression import BM25_K1
+    from holi_search_engine_spark.query.bm25 import block_sweep_topk
+
+    counter = [0]
+    sweeps = [_make_sweep(p, w, block_size, counter) for p, w in terms]
+    got = block_sweep_topk(sweeps, k)
+
+    truth: dict[int, float] = {}
+    for postings, w in terms:
+        for d, tf in postings.items():
+            truth[d] = truth.get(d, 0.0) + w * tf * (BM25_K1 + 1.0) / (tf + BM25_K1)
+    exp = sorted(truth.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    assert [d for d, _ in got] == [d for d, _ in exp]
+    assert np.allclose([s for _, s in got], [s for _, s in exp], atol=1e-12)
