@@ -78,3 +78,27 @@ def test_spark_submit_with_pyfiles_zip(tmp_path):
     assert "PYFILES_SMOKE_ROWS=" in r.stdout, r.stdout[-2000:]
     rows = int(r.stdout.split("PYFILES_SMOKE_ROWS=")[1].split()[0])
     assert rows > 0
+
+
+def test_pyfiles_zip_not_stale():
+    """Every .py in the package must be byte-identical inside dist/…zip —
+    a stale bundle ships old code to the cluster silently."""
+    import zipfile
+
+    zip_path = os.path.join(REPO, "dist", "holi_search_engine_spark.zip")
+    assert os.path.exists(zip_path), "run make_pyfiles.sh"
+    z = zipfile.ZipFile(zip_path)
+    names = set(z.namelist())
+    for root, _, files in os.walk(os.path.join(REPO, "holi_search_engine_spark")):
+        if "__pycache__" in root:
+            continue
+        for f in files:
+            if not f.endswith(".py"):
+                continue
+            p = os.path.join(root, f)
+            rel = os.path.relpath(p, REPO)
+            assert rel in names, f"{rel} missing from bundle (run make_pyfiles.sh)"
+            with open(p, "rb") as fh:
+                assert z.read(rel) == fh.read(), (
+                    f"{rel} differs from the bundle (run make_pyfiles.sh)"
+                )
