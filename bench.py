@@ -31,7 +31,7 @@ QUERY_PASSES = 3
 # capacity drifts >2x between identical runs (BENCH/BASELINE.md "Host
 # environment"), so a single sample measures the tenant-contention window
 # more than the engine; min-of-2 is the standard noise-robust statistic
-REPEATS = int(os.environ.get("BENCH_REPEATS", "2"))
+REPEATS = max(1, int(os.environ.get("BENCH_REPEATS", "2")))
 
 
 def main() -> None:
@@ -163,9 +163,13 @@ def main() -> None:
                     "search_topk": "self-contained oracle form: tokenizes "
                     "the sf corpus inside the query; NOT query latency — "
                     "that is query_p95_ms/bm25_p95_ms over the prebuilt index",
-                    "timing": f"each section is min of {REPEATS} repeats "
-                    "(cold cache): the shared host drifts >2x between "
-                    "identical runs, see BENCH/BASELINE.md",
+                    "timing": f"index_build and the operator-suite entries "
+                    f"are min of {REPEATS} repeats (Spark cache cleared "
+                    "between repeats; later repeats run page-cache/JIT "
+                    "warm); query/bm25 latencies are one 3-pass run with "
+                    "warm-pass p95 reported separately. The shared host "
+                    "drifts >2x between identical runs, see "
+                    "BENCH/BASELINE.md",
                 },
             }
         )

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .common import load
-from .dedup import shingles_of
+from .dedup import shingles_of, shingles_sql
 
 QUERIES: dict = {}
 ORACLE: dict[str, str] = {}
@@ -53,15 +53,7 @@ ENTRY_NGRAM = 4
 #: deterministic stand-in eval set: every 97th doc (≈1% of the corpus)
 EVAL_MOD = 97
 
-_CONTAM_SHINGLES = f"""
-    sh AS (
-      SELECT doc_id,
-             array_to_string(toks[i : i + {ENTRY_NGRAM - 1}], ' ') AS ng
-      FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
-            FROM documents),
-           unnest(range(1, greatest(len(toks) - {ENTRY_NGRAM - 1}, 0) + 1)) AS r(i)
-    ),
-    dsh AS (SELECT DISTINCT doc_id, ng FROM sh)"""
+_CONTAM_SHINGLES = shingles_sql(ENTRY_NGRAM, cte_name="dsh", shingle_col="ng")
 
 
 @q(

@@ -58,7 +58,11 @@ def shingles_of(docs: DataFrame, shingle: int = SHINGLE) -> DataFrame:
     Dedup happens inside the row via ``array_distinct`` — the distinct
     key is (doc_id, shingle), i.e. purely doc-local, so a corpus-wide
     ``.distinct()`` shuffle would move every shingle string through an
-    exchange to deduplicate rows that all live in the same input row."""
+    exchange to deduplicate rows that all live in the same input row.
+
+    Contract: ``docs`` has ONE row per doc_id (the shape of every docs
+    table here).  A caller feeding duplicate doc_id rows would double-emit
+    those docs' shingles; pre-aggregate or ``dropDuplicates`` first."""
     toks = F.split(F.trim(F.col("text")), r"\s+")
     n = F.size(toks)
     idx = F.when(n >= shingle, F.sequence(F.lit(0), n - shingle)).otherwise(
@@ -74,15 +78,27 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shingles_of(load(spark, sf_dir, "documents"))
 
 
-# DuckDB: list slicing toks[i : i+2] is 1-based inclusive → 3 elements.
-_SHINGLES_SQL = f"""
-    shingles AS (
+def shingles_sql(
+    n: int = SHINGLE,
+    cte_name: str = "shingles",
+    shingle_col: str = "shingle",
+    src: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`shingles_of` for word-``n``-grams (the single
+    source of the shingle CTE — curation's decontamination oracle reuses
+    it at its own n).  DuckDB list slicing ``toks[i : i+k]`` is 1-based
+    inclusive → k+1 elements."""
+    return f"""
+    {cte_name} AS (
       SELECT DISTINCT doc_id,
-             array_to_string(toks[i : i + {SHINGLE - 1}], ' ') AS shingle
+             array_to_string(toks[i : i + {n - 1}], ' ') AS {shingle_col}
       FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
-            FROM documents),
-           unnest(range(1, greatest(len(toks) - {SHINGLE - 1}, 0) + 1)) AS r(i)
+            FROM {src}),
+           unnest(range(1, greatest(len(toks) - {n - 1}, 0) + 1)) AS r(i)
     )"""
+
+
+_SHINGLES_SQL = shingles_sql()
 
 # Universal-hash MinHash family (MMDS §3.3.6): each shingle is md5-hashed
 # ONCE to h ∈ [0, p), then hash j is the affine map (a_j·h + b_j) mod p
@@ -253,7 +269,14 @@ def lsh_near_dup_pairs(
     Defaults (128 hashes, threshold-tuned banding) are corpus-scale
     parameters; the driver entry ``dedup_lsh_pairs`` runs this same
     pipeline at the oracle-checkable toy size (8 hashes, 4×2 bands,
-    unthresholded)."""
+    unthresholded).
+
+    Caching note: the shingle stream (here) and the band table (inside
+    :func:`lsh_candidate_pairs`) are persisted and stay registered until
+    evicted — Spark's LRU reclaims them under pressure, but a long-lived
+    session running many dedup jobs should ``spark.catalog.clearCache()``
+    (or unpersist via the returned plan's lineage) between jobs, as
+    ``bench.py`` does."""
     if bands is None:
         bands, rows = lsh_params_for_threshold(threshold, n_hashes)
     else:

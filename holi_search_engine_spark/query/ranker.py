@@ -96,6 +96,7 @@ class RankerEngine:
         self._postings_cache: OrderedDict[str, tuple[np.ndarray, np.ndarray]] = (
             OrderedDict()
         )
+        self._postings_cache_bytes = 0
         self.preloaded = _should_preload(paths, preload, preload_max_bytes)
         if self.preloaded:
             self._preload()
@@ -124,24 +125,34 @@ class RankerEngine:
         )
         self._meta_pdf = dm.set_index("doc_key")
 
-    #: decoded-postings LRU capacity (terms).  Zipf-head terms (stopword
-    #: fallback queries) dominate decode cost and repeat across queries;
-    #: a small cache of decoded lists is the standard ranker-node move
-    #: (cf. Lucene's LRUQueryCache) and bounds memory to
-    #: O(cache × longest list), independent of corpus size.
-    POSTINGS_CACHE = 256
+    #: decoded-postings LRU caps.  Zipf-head terms (stopword fallback
+    #: queries) dominate decode cost and repeat across queries; a small
+    #: cache of decoded lists is the standard ranker-node move (cf.
+    #: Lucene's LRUQueryCache).  The cap is in BYTES, not terms: a
+    #: decoded hot-term list is O(corpus) (16 B/posting), so a term-count
+    #: cap would scale driver memory with the corpus and defeat the
+    #: preload_max_bytes degraded-mode gate.
+    POSTINGS_CACHE_TERMS = 256
+    POSTINGS_CACHE_BYTES = 256 << 20
 
     def _term_postings(self, term: str) -> tuple[np.ndarray, np.ndarray]:
         """Doc-ordered (keys, tfs) for a term; empty arrays if absent.
-        Decoded lists are LRU-cached per engine instance."""
+        Decoded lists are LRU-cached (byte-capped) per engine instance."""
         cached = self._postings_cache.get(term)
         if cached is not None:
             self._postings_cache.move_to_end(term)
             return cached
         out = self._term_postings_uncached(term)
-        self._postings_cache[term] = out
-        if len(self._postings_cache) > self.POSTINGS_CACHE:
-            self._postings_cache.popitem(last=False)
+        nbytes = out[0].nbytes + out[1].nbytes
+        if nbytes <= self.POSTINGS_CACHE_BYTES // 8:
+            self._postings_cache[term] = out
+            self._postings_cache_bytes += nbytes
+            while (
+                len(self._postings_cache) > self.POSTINGS_CACHE_TERMS
+                or self._postings_cache_bytes > self.POSTINGS_CACHE_BYTES
+            ):
+                _, old = self._postings_cache.popitem(last=False)
+                self._postings_cache_bytes -= old[0].nbytes + old[1].nbytes
         return out
 
     def _term_postings_uncached(self, term: str) -> tuple[np.ndarray, np.ndarray]:
