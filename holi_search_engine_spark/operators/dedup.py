@@ -227,9 +227,16 @@ def lsh_candidate_pairs(mh: DataFrame, bands: int, rows_per_band: int) -> DataFr
     )
 
 
-def verify_pairs_jaccard(sh: DataFrame, pairs: DataFrame) -> DataFrame:
+def verify_pairs_jaccard(
+    sh: DataFrame, pairs: DataFrame, min_jaccard: float | None = None
+) -> DataFrame:
     """Exact shingle-Jaccard for candidate pairs only (semi-join
-    intersection sizes; never materializes shingle sets driver-side)."""
+    intersection sizes; never materializes shingle sets driver-side).
+
+    ``min_jaccard`` thresholds the UNROUNDED ratio (what the DuckDB
+    oracles do); the output column stays rounded to 6dp.  Callers must
+    not filter on the rounded output — a true jaccard just under the
+    threshold rounds up across it and diverges from the oracle."""
     sh_a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     sh_b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
     inter = (
@@ -239,21 +246,18 @@ def verify_pairs_jaccard(sh: DataFrame, pairs: DataFrame) -> DataFrame:
         .agg(F.count("*").alias("inter_size"))
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    return (
+    jac = F.col("inter_size").cast("double") / (
+        F.col("size_a") + F.col("size_b") - F.col("inter_size")
+    )
+    joined = (
         pairs.join(inter, ["doc_a", "doc_b"], "left")
         .na.fill({"inter_size": 0})
         .join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("size_a")), "doc_a")
         .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("size_b")), "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.round(
-                F.col("inter_size").cast("double")
-                / (F.col("size_a") + F.col("size_b") - F.col("inter_size")),
-                6,
-            ).alias("jaccard"),
-        )
     )
+    if min_jaccard is not None:
+        joined = joined.where(jac >= min_jaccard)
+    return joined.select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
 
 
 def lsh_near_dup_pairs(
@@ -290,8 +294,7 @@ def lsh_near_dup_pairs(
     sh = sh.persist()
     mh = minhash_of(sh, n_hashes)
     pairs = lsh_candidate_pairs(mh, bands, rows)
-    verified = verify_pairs_jaccard(sh, pairs)
-    return verified.where(F.col("jaccard") >= threshold)
+    return verify_pairs_jaccard(sh, pairs, min_jaccard=threshold)
 
 
 def _sig_concat(order_col: str, value_col: str):
@@ -510,8 +513,7 @@ def ngram_jaccard_pairs(
     of the probabilistic :func:`lsh_near_dup_pairs`."""
     sh = shingles_of(docs, shingle).persist()  # 5 consumers, one tokenize
     pairs = ngram_candidate_pairs(sh, df_cap, heavy_fallback)
-    verified = verify_pairs_jaccard(sh, pairs)
-    return verified.where(F.col("jaccard") >= jaccard_min)
+    return verify_pairs_jaccard(sh, pairs, min_jaccard=jaccard_min)
 
 
 @q("dedup_ngram_jaccard", _NGRAM_JACCARD_SQL)

@@ -160,7 +160,12 @@ def events_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     try:
         q_ = stream_sessionize(spark, inbox, out, ckpt, gap_sec=1800)
-        q_.awaitTermination(600)
+        if not q_.awaitTermination(600):
+            # drain overran the budget: stop before the finally-rmtree
+            # deletes the checkpoint under a live query, and fail loudly
+            # rather than comparing partial output against the oracle
+            q_.stop()
+            raise TimeoutError("availableNow drain did not finish in 600s")
         if not glob.glob(os.path.join(out, "*.parquet")):
             return spark.createDataFrame(
                 [],
@@ -210,7 +215,12 @@ def events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         dupes = events.where(F.col("event_id") % 50 == 0)
         events.unionByName(dupes).coalesce(2).write.parquet(inbox)
         q_ = stream_dedup(spark, inbox, out, ckpt)
-        q_.awaitTermination(600)
+        if not q_.awaitTermination(600):
+            # drain overran the budget: stop before the finally-rmtree
+            # deletes the checkpoint under a live query, and fail loudly
+            # rather than comparing partial output against the oracle
+            q_.stop()
+            raise TimeoutError("availableNow drain did not finish in 600s")
         deduped = spark.read.parquet(out).select(
             "event_id", "user_id", "event_type", F.round("value", 2).alias("value")
         )

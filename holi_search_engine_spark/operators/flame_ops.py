@@ -378,9 +378,16 @@ def flame_save_as_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_nationkey")
         .agg(F.count("*").alias("n"), F.round(F.avg("s_acctbal"), 2).alias("avg_bal"))
     )
-    path = os.path.join(tempfile.gettempdir(), "holi_flame_save_as_table")
-    out.write.mode("overwrite").parquet(path)
-    return spark.read.parquet(path)
+    # per-call private dir: a fixed shared path would let two concurrent
+    # runs (or users) clobber each other's sink mid-read
+    path = os.path.join(tempfile.mkdtemp(prefix="holi_flame_sat_"), "t")
+    out.write.parquet(path)
+    stored = spark.read.parquet(path)
+    pdf, schema = stored.toPandas(), stored.schema
+    import shutil as _shutil
+
+    _shutil.rmtree(os.path.dirname(path), ignore_errors=True)
+    return spark.createDataFrame(pdf, schema=schema)
 
 
 @q(

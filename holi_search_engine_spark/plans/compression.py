@@ -303,6 +303,18 @@ def build_block_index(
         from .index_build import read_meta as _read_meta
 
         avgdl = _read_meta(paths).get("avgdl") or 1.0
+    if "doc_key" not in term_tf.columns:
+        from .index_build import read_meta as _rm
+
+        if _rm(paths).get("packed_doc_key") is False:
+            # the build recorded that this corpus FAILED the conv-%08d
+            # round-trip: packing via doc_key_expr would merge distinct
+            # docs ('a7'/'b7' → same key) — refuse instead of corrupting
+            raise ValueError(
+                "block index unavailable for a string-keyed index "
+                "(corpus failed the packed-doc-key round-trip check); "
+                "remap conv_id to the canonical form first"
+            )
     key = (
         F.col("doc_key")
         if "doc_key" in term_tf.columns

@@ -379,6 +379,14 @@ def _build_index_inner(
             emit_key = n_turns_pre == 0 or (bool(chk["rt_ok"]) and bool(chk["turn_ok"]))
         else:
             n_turns_pre = transcripts.count()
+        if build_blocks and doc_cols == DOC_COLS and not emit_key and n_turns_pre:
+            raise ValueError(
+                "block index requires the packed int64 doc key, but this "
+                "corpus failed the conv-%08d / turn_idx round-trip check — "
+                "packing would silently merge distinct docs. Remap conv_id "
+                "to the canonical form, or pass build_blocks=False for the "
+                "string-keyed parity artifacts."
+            )
         term_raw = tokenize_terms(
             transcripts,
             dictionary,
@@ -467,6 +475,7 @@ def _build_index_inner(
                         "n_turns": n_turns_empty,
                         "buckets": buckets,
                         "avgdl": 0.0,
+                        "packed_doc_key": emit_key,
                     },
                     f,
                 )
@@ -501,6 +510,7 @@ def _build_index_inner(
                     "n_turns": n_turns,
                     "buckets": buckets,
                     "avgdl": float(avgdl),
+                    "packed_doc_key": emit_key,
                 },
                 f,
             )

@@ -33,6 +33,7 @@ from ..plans.compression import (
     doc_key_to_cols,
 )
 from ..plans.index_build import IndexPaths, read_meta
+from ..sources.catalog import read_table
 
 _RE_PUNCT = re.compile(r"[.,:;!?'\"\(\)-]")
 
@@ -241,17 +242,17 @@ class BM25Engine:
         self._block_cache: dict[str, pd.DataFrame | None] = {}
         self._df_cache: dict[str, int] = {}
         if self.preloaded:
-            blocks = spark.read.parquet(paths.blocks).toPandas()
+            blocks = read_table(spark, paths.blocks).toPandas()
             self._blocks = {
                 t: g.sort_values("block_no").reset_index(drop=True)
                 for t, g in blocks.groupby("term", sort=False)
             }
-            wm = spark.read.parquet(paths.wmetric).toPandas()
+            wm = read_table(spark, paths.wmetric).toPandas()
             # stored df carries the reference's +1 quirk; undo it for BM25 idf
             self._df = {t: int(d) - 1 for t, d in zip(wm["term"], wm["df"])}
         key = doc_key_expr(self.doc_cols)
         dl = (
-            spark.read.parquet(paths.doc_len)
+            read_table(spark, paths.doc_len)
             .select(key.alias("doc_key"), "dl")
             .toPandas()
         )
@@ -280,12 +281,12 @@ class BM25Engine:
         if not missing:
             return
         pdf = (
-            self.spark.read.parquet(self.paths.blocks)
+            read_table(self.spark, self.paths.blocks)
             .where(F.col("term").isin(missing))
             .toPandas()
         )
         wm = (
-            self.spark.read.parquet(self.paths.wmetric)
+            read_table(self.spark, self.paths.wmetric)
             .where(F.col("term").isin(missing))
             .toPandas()
         )
@@ -296,10 +297,14 @@ class BM25Engine:
                 g.sort_values("block_no").reset_index(drop=True) if len(g) else None
             )
             self._df_cache[t] = dfmap.get(t, 0)
-        while len(self._block_cache) > self.SCORE_CACHE_TERMS:
-            self._block_cache.pop(next(iter(self._block_cache)))
-        while len(self._df_cache) > self.SCORE_CACHE_TERMS:
-            self._df_cache.pop(next(iter(self._df_cache)))
+        # never evict below the CURRENT query's term count — evicting
+        # just-fetched entries would make search() re-fetch them one
+        # Spark job per term, exactly the round-trips batching avoids
+        cap = max(self.SCORE_CACHE_TERMS, len(terms))
+        for cache in (self._block_cache, self._df_cache):
+            while len(cache) > cap:
+                evict = next(k for k in cache if k not in terms)
+                cache.pop(evict)
 
     def _term_blocks(self, term: str) -> pd.DataFrame | None:
         if self._blocks is not None:

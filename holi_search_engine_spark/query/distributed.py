@@ -26,6 +26,7 @@ from ..functions.javacompat import java_hashset_order
 from ..oracle.pandas_oracle import _RE_PUNCT
 from ..plans.compression import decode_block, doc_key_expr
 from ..plans.index_build import IndexPaths, read_meta
+from ..sources.catalog import read_table
 from .ranker import EXPAND_THRESHOLD, TOP_CUT
 from .stopwords import STOPWORDS
 
@@ -75,7 +76,7 @@ class DistributedRanker:
         order = {t: i for i, t in enumerate(java_hashset_order(lookup_terms))}
         tb = self._term_buckets(list(order))
         blocks = (
-            self.spark.read.parquet(self.paths.blocks)
+            read_table(self.spark, self.paths.blocks)
             .where(F.col("bucket").isin(sorted(set(tb.values()))))
             .where(F.col("term").isin(list(order)))
             .select("term", "doc_bytes", "tf_bytes")
@@ -116,14 +117,14 @@ class DistributedRanker:
         cut = cand.orderBy(F.col("occurrence").desc(), "doc_key").limit(TOP_CUT)
 
         key = doc_key_expr(self.doc_cols)
-        ntf = self.spark.read.parquet(self.paths.ntf).select(
+        ntf = read_table(self.spark, self.paths.ntf).select(
             key.alias("doc_key"), "ntf"
         )
         word_count: dict[str, int] = {}
         for w in words:
             word_count[w] = word_count.get(w, 0) + 1
         wm = (
-            self.spark.read.parquet(self.paths.wmetric)
+            read_table(self.spark, self.paths.wmetric)
             .where(F.col("term").isin(list(word_count)))
             .select("term", "idf")
         )
@@ -145,7 +146,7 @@ class DistributedRanker:
                 ).alias("weight")
             )
         )
-        meta_df = self.spark.read.parquet(self.paths.doc_meta).select(
+        meta_df = read_table(self.spark, self.paths.doc_meta).select(
             key.alias("doc_key"), "title"
         )
         sw_set = list(dict.fromkeys(words_sw))

@@ -36,6 +36,7 @@ from ..functions.javacompat import java_hashset_order
 from ..oracle.pandas_oracle import _RE_PUNCT  # same normalization regex
 from ..plans.compression import decode_block, doc_key_expr, doc_key_to_cols
 from ..plans.index_build import IndexPaths, artifact_nbytes, read_meta
+from ..sources.catalog import read_table
 from .stopwords import STOPWORDS
 
 TOP_CUT = 250  # Ranker.java:205
@@ -89,6 +90,13 @@ class RankerEngine:
         meta = read_meta(paths)
         self.doc_cols: list[str] = meta["doc_cols"]
         self.buckets: int = meta["buckets"]
+        # True only when the build VALIDATED the conv-%08d round-trip (or
+        # the key is a single stored column): exactly the cases where
+        # doc_key_to_cols reconstruction is lossless and the degraded-mode
+        # lead-column prefilter is sound
+        self._reconstructible_key: bool = bool(
+            meta.get("packed_doc_key")
+        ) or len(self.doc_cols) == 1
         self._blocks: dict[str, pd.DataFrame] | None = None
         self._wmetric: dict[str, float] | None = None
         self._ntf: pd.Series | None = None
@@ -104,22 +112,22 @@ class RankerEngine:
     # ---------------------------------------------------------- loading
 
     def _preload(self) -> None:
-        blocks = self.spark.read.parquet(self.paths.blocks).toPandas()
+        blocks = read_table(self.spark, self.paths.blocks).toPandas()
         self._blocks = {
             t: g.sort_values("block_no").reset_index(drop=True)
             for t, g in blocks.groupby("term", sort=False)
         }
-        wm = self.spark.read.parquet(self.paths.wmetric).toPandas()
+        wm = read_table(self.spark, self.paths.wmetric).toPandas()
         self._wmetric = dict(zip(wm["term"], wm["idf"]))
         key = doc_key_expr(self.doc_cols)
         ntf = (
-            self.spark.read.parquet(self.paths.ntf)
+            read_table(self.spark, self.paths.ntf)
             .select(key.alias("doc_key"), "ntf")
             .toPandas()
         )
         self._ntf = ntf.set_index("doc_key")["ntf"]
         dm = (
-            self.spark.read.parquet(self.paths.doc_meta)
+            read_table(self.spark, self.paths.doc_meta)
             .select(key.alias("doc_key"), "title", "snippet")
             .toPandas()
         )
@@ -166,7 +174,7 @@ class RankerEngine:
                 np.concatenate([p[1] for p in parts]),
             )
         pdf = (
-            self.spark.read.parquet(self.paths.blocks)
+            read_table(self.spark, self.paths.blocks)
             .where(F.col("term") == term)
             .orderBy("block_no")
             .toPandas()
@@ -183,7 +191,7 @@ class RankerEngine:
         if self._wmetric is not None:
             return float(self._wmetric.get(term, 0.0))  # Q8
         pdf = (
-            self.spark.read.parquet(self.paths.wmetric)
+            read_table(self.spark, self.paths.wmetric)
             .where(F.col("term") == term)
             .toPandas()
         )
@@ -195,14 +203,18 @@ class RankerEngine:
         then on the exact packed key.  keys is ≤ TOP_CUT=250, so the isin
         lists stay tiny."""
         key = doc_key_expr(self.doc_cols)
-        lead = self.doc_cols[0]
-        lead_vals = doc_key_to_cols(np.asarray(keys, dtype=np.int64), self.doc_cols)[
-            lead
-        ].unique().tolist()
+        df = read_table(self.spark, path)
+        if self._reconstructible_key:
+            # reconstructing 'conv-%08d' from the packed key only matches
+            # stored rows when the build validated the round-trip; a
+            # legacy/string-keyed index must not prefilter on it
+            lead = self.doc_cols[0]
+            lead_vals = doc_key_to_cols(
+                np.asarray(keys, dtype=np.int64), self.doc_cols
+            )[lead].unique().tolist()
+            df = df.where(F.col(lead).isin(lead_vals))
         return (
-            self.spark.read.parquet(path)
-            .where(F.col(lead).isin(lead_vals))
-            .select(key.alias("doc_key"), *cols)
+            df.select(key.alias("doc_key"), *cols)
             .where(F.col("doc_key").isin([int(k) for k in keys]))
             .toPandas()
         )

@@ -65,11 +65,13 @@ def write_table(
     if use_iceberg(spark):
         name = table_for(path)
         if dynamic:
-            try:
+            # create-or-replace is only the TABLE-ABSENT degradation; an
+            # overwritePartitions failure on an existing table (transient
+            # commit conflict, FS error) must propagate — swallowing it
+            # and falling through would wipe every completed bucket
+            if spark.catalog.tableExists(name):
                 df.writeTo(name).overwritePartitions()
                 return "iceberg"
-            except Exception:
-                pass  # table absent: fall through to create
         elif mode == "append":
             df.writeTo(name).append()
             return "iceberg"

@@ -213,7 +213,17 @@ def test_nonconforming_conv_ids_fall_back_to_string_keys(spark, dictionary, tmp_
         }
     )
     out = str(tmp_path / "idx_strkeys")
-    paths = build_index(spark, spark.createDataFrame(pdf), out, dictionary, buckets=2)
+    # the block index REQUIRES the packed key, so a non-conforming corpus
+    # must fail fast instead of silently merging 'a7'/'b7' postings
+    import pytest
+
+    with pytest.raises(ValueError, match="round-trip"):
+        build_index(spark, spark.createDataFrame(pdf), out, dictionary, buckets=2)
+    out = str(tmp_path / "idx_strkeys2")
+    paths = build_index(
+        spark, spark.createDataFrame(pdf), out, dictionary, buckets=2,
+        build_blocks=False,
+    )
     assert "doc_key" not in spark.read.parquet(paths.term_tf).columns
     stats = spark.read.parquet(paths.doc_stats).toPandas()
     assert set(stats["conv_id"]) == {"a7", "b7", "conv-00000001"}
@@ -234,7 +244,10 @@ def test_turn_idx_overflow_falls_back_to_string_keys(spark, dictionary, tmp_path
         }
     )
     out = str(tmp_path / "idx_turnover")
-    paths = build_index(spark, spark.createDataFrame(pdf), out, dictionary, buckets=2)
+    paths = build_index(
+        spark, spark.createDataFrame(pdf), out, dictionary, buckets=2,
+        build_blocks=False,
+    )
     assert "doc_key" not in spark.read.parquet(paths.term_tf).columns
     stats = spark.read.parquet(paths.doc_stats).toPandas()
     assert set(int(t) for t in stats["turn_idx"]) == {0, over}

@@ -63,9 +63,13 @@ class _RecWriter:
 
 
 class _RecDf:
-    def __init__(self):
+    def __init__(self, table_exists=True):
+        from types import SimpleNamespace
+
         self.calls = []
-        self.sparkSession = object()
+        self.sparkSession = SimpleNamespace(
+            catalog=SimpleNamespace(tableExists=lambda name: table_exists)
+        )
 
     def writeTo(self, name):
         self.calls.append(("writeTo", name))
@@ -90,6 +94,17 @@ def test_write_table_iceberg_branch(spark, monkeypatch):
     df = _RecDf()
     assert C.write_table(df, "/idx/blocks", dynamic=True) == "iceberg"
     assert df.calls == [("writeTo", "lake.search.blocks"), ("overwritePartitions",)]
+
+    # table absent: dynamic degrades to create-or-replace (first build);
+    # an overwritePartitions FAILURE on an existing table must propagate,
+    # never silently replace completed buckets
+    df = _RecDf(table_exists=False)
+    assert C.write_table(df, "/idx/blocks", dynamic=True) == "iceberg"
+    assert df.calls == [
+        ("writeTo", "lake.search.blocks"),
+        ("using", "iceberg"),
+        ("createOrReplace",),
+    ]
 
     df = _RecDf()
     assert C.write_table(df, "/idx/t", mode="append") == "iceberg"
