@@ -32,6 +32,9 @@ QUERY_PASSES = 3
 # environment"), so a single sample measures the tenant-contention window
 # more than the engine; min-of-2 is the standard noise-robust statistic
 REPEATS = max(1, int(os.environ.get("BENCH_REPEATS", "2")))
+# the build is the north metric AND the stage most exposed to host drift
+# (multi-minute, bandwidth-bound): give it one extra sample
+BUILD_REPEATS = max(REPEATS, int(os.environ.get("BENCH_BUILD_REPEATS", "3")))
 
 
 def main() -> None:
@@ -74,7 +77,7 @@ def main() -> None:
     n_turns = corpus.count()
     idx_dir = os.environ.get("BENCH_IDX_DIR", "/dev/shm/holi_bench_index")
     walls = []
-    for _ in range(REPEATS):
+    for _ in range(BUILD_REPEATS):
         shutil.rmtree(idx_dir, ignore_errors=True)
         t0 = time.time()
         paths = build_index(
@@ -163,8 +166,9 @@ def main() -> None:
                     "search_topk": "self-contained oracle form: tokenizes "
                     "the sf corpus inside the query; NOT query latency — "
                     "that is query_p95_ms/bm25_p95_ms over the prebuilt index",
-                    "timing": f"index_build and the operator-suite entries "
-                    f"are min of {REPEATS} repeats (Spark cache cleared "
+                    "timing": f"index_build is min of {BUILD_REPEATS} "
+                    f"repeats and the operator-suite entries min of "
+                    f"{REPEATS} (Spark cache cleared "
                     "between repeats; later repeats run page-cache/JIT "
                     "warm); query/bm25 latencies are one 3-pass run with "
                     "warm-pass p95 reported separately. The shared host "
