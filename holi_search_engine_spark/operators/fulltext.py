@@ -377,3 +377,113 @@ def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score").desc(), "doc_id")
         .limit(10)
     )
+
+
+def _bm25_and_sql(query_text: str) -> str:
+    """Conjunctive twin of :func:`_bm25_sql`: only docs matching EVERY
+    query term score (HAVING over distinct matched terms)."""
+    from ..plans.compression import BM25_B, BM25_K1
+
+    qterms = query_text.split()
+    terms = ", ".join(f"'{t}'" for t in qterms)
+    return f"""
+    {_TF_SQL},
+    dl AS (SELECT doc_id, sum(tf)::DOUBLE AS dl FROM tf GROUP BY doc_id),
+    st AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                  (SELECT avg(dl) FROM dl) AS avgdl),
+    dfs AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term)
+    SELECT tf.doc_id,
+           round(sum( ln(1.0 + (st.n - dfs.df + 0.5) / (dfs.df + 0.5))
+                      * tf.tf * {BM25_K1 + 1.0!r}
+                      / (tf.tf + {BM25_K1!r}
+                         * ({1.0 - BM25_B!r} + {BM25_B!r} * dl.dl / st.avgdl)) ),
+                 6) AS score
+    FROM tf JOIN dfs USING (term) JOIN dl USING (doc_id), st
+    WHERE tf.term IN ({terms})
+    GROUP BY tf.doc_id
+    HAVING count(DISTINCT tf.term) = {len(qterms)}
+    ORDER BY score DESC, tf.doc_id
+    LIMIT 10
+    """
+
+
+@q("search_bm25_and_topk", _bm25_and_sql(BM25_QUERY_TEXT))
+def search_bm25_and_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive (AND-semantics) BM25 top-k: only docs containing EVERY
+    query term are candidates — the boolean-retrieval mode the reference's
+    union ranker lacks, and the shape where posting-intersection pruning
+    shines at scale (the rarest term's list bounds the candidate set; the
+    block index's next_geq/skip metadata serves exactly this access
+    pattern)."""
+    from ..plans.compression import BM25_B, BM25_K1
+
+    terms = BM25_QUERY_TEXT.split()
+    tf = term_tf(spark, sf_dir).cache()
+    docs = load(spark, sf_dir, "documents")
+    n = docs.count()
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("double").alias("dl"))
+    avgdl = dl.agg(F.avg("dl")).first()[0]
+    dfs = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    qdf = spark.createDataFrame([(t,) for t in terms], "term string")
+    hits = (
+        tf.join(F.broadcast(qdf), "term")
+        .join(F.broadcast(dfs), "term")
+        .join(dl, "doc_id")
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n)) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    norm = F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("dl") / F.lit(float(avgdl))
+    per_term = (
+        idf
+        * F.col("tf").cast("double")
+        * F.lit(BM25_K1 + 1.0)
+        / (F.col("tf").cast("double") + F.lit(BM25_K1) * norm)
+    )
+    return (
+        hits.groupBy("doc_id")
+        .agg(
+            F.round(F.sum(per_term), 6).alias("score"),
+            F.countDistinct("term").alias("_m"),
+        )
+        .where(F.col("_m") == len(terms))
+        .drop("_m")
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(10)
+    )
+
+
+SNIPPET_TERM = "stream"
+SNIPPET_W = 90  # snippet window (chars)
+
+
+@q(
+    "search_snippets",
+    f"""
+    SELECT doc_id, pos,
+           substr(text, greatest(1, pos - 30), {SNIPPET_W}) AS snippet
+    FROM (SELECT doc_id, text,
+                 strpos(lower(text), '{SNIPPET_TERM}') AS pos
+          FROM documents)
+    WHERE pos > 0
+    """,
+)
+def search_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-anchored snippet extraction: a {SNIPPET_W}-char window around
+    the first occurrence of the query term (the reference serves static
+    first-300-char snippets, ``ranker/CrawlProcess.java:49-56``;
+    query-dependent windows are the step every result page needs).  Pure
+    Catalyst string ops over a pruned scan — map-only at any scale."""
+    docs = load(spark, sf_dir, "documents")
+    pos = F.instr(F.lower("text"), SNIPPET_TERM)
+    return (
+        docs.select(
+            "doc_id",
+            pos.alias("pos"),
+            F.substring(
+                "text", F.greatest(F.lit(1), pos - 30), F.lit(SNIPPET_W)
+            ).alias("snippet"),
+        )
+        .where(F.col("pos") > 0)
+    )

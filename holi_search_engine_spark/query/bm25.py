@@ -342,6 +342,54 @@ class BM25Engine:
     def _weight(self, term: str) -> float:
         return bm25_idf(self.n_docs, self._term_df(term))
 
+    def search_and(self, query: str, k: int = 10) -> pd.DataFrame:
+        """Conjunctive (AND) exact BM25 top-k: only docs containing EVERY
+        query term.  Uses :func:`block_sweep_topk_and`, whose gap prune
+        skips hot terms' blocks between the rarest term's docs without
+        decoding; dense conjunctions route to the vectorized path."""
+        terms = self._tokenize(query)
+        self._ensure_terms(terms)
+        term_blocks = [(t, self._term_blocks(t)) for t in terms]
+        if any(g is None for _, g in term_blocks) or not term_blocks:
+            return self._to_frame([])  # a missing term empties the AND
+        # candidate mass is bounded by the RAREST term's list
+        rarest = min(self._term_df(t) for t, _ in term_blocks)
+        if rarest > self.TAAT_THRESHOLD or len(term_blocks) == 1:
+            return self.search_bruteforce_and(query, k)
+        sweeps = [
+            _TermSweep(g, self._weight(t), self._dl_norm, self._decode_counter)
+            for t, g in term_blocks
+        ]
+        if any(s.exhausted() for s in sweeps):
+            return self._to_frame([])
+        return self._to_frame(block_sweep_topk_and(sweeps, k, len(sweeps)))
+
+    def search_bruteforce_and(self, query: str, k: int = 10) -> pd.DataFrame:
+        """Exhaustive conjunctive scoring: per-doc sums kept only where
+        every term matched (each term contributes one posting per doc, so
+        the match count equals the term count exactly there)."""
+        terms = self._tokenize(query)
+        self._ensure_terms(terms)
+        key_parts: list[np.ndarray] = []
+        score_parts: list[np.ndarray] = []
+        for t in terms:
+            if self._term_blocks(t) is None:
+                return self._to_frame([])
+            keys, scores = self._term_scores(t)
+            key_parts.append(keys)
+            score_parts.append(scores)
+        if not key_parts:
+            return self._to_frame([])
+        uniq, inv, cnt = np.unique(
+            np.concatenate(key_parts), return_inverse=True, return_counts=True
+        )
+        acc = np.bincount(inv, weights=np.concatenate(score_parts))
+        full = np.flatnonzero(cnt == len(terms))
+        if not len(full):
+            return self._to_frame([])
+        order = full[np.lexsort((uniq[full], -acc[full]))][:k]
+        return self._to_frame([(int(uniq[i]), float(acc[i])) for i in order])
+
     def search_bruteforce(self, query: str, k: int = 10) -> pd.DataFrame:
         """Exhaustive vectorized term-at-a-time scoring — exact, and faster
         than WAND when the query's posting mass is dense (stopword-heavy
@@ -429,3 +477,54 @@ class BM25Engine:
         out = doc_key_to_cols(keys, self.doc_cols)
         out["score"] = [s for _, s in pairs]
         return out
+
+
+def block_sweep_topk_and(
+    sweeps: list[_TermSweep], k: int, m: int
+) -> list[tuple[int, float]]:
+    """Conjunctive (AND) exact top-k: only docs matched by ALL ``m`` terms
+    score.  Same range sweep as :func:`block_sweep_topk`, with two extra
+    prunes the conjunction makes sound:
+
+    - if ANY term is exhausted, no further doc can match — stop;
+    - if ANY term's current block starts after the range end, no doc in
+      the range has that term — skip the whole range WITHOUT decoding
+      (this is the next_geq-style gap jump; with one rare term the hot
+      terms' lists are skipped in block units between the rare docs).
+    """
+    top_keys = np.empty(0, dtype=np.int64)
+    top_scores = np.empty(0, dtype=np.float64)
+    theta = -math.inf
+
+    while True:
+        if any(s.exhausted() for s in sweeps):
+            break
+        end = min(s.block_max() for s in sweeps)
+        gap = any(s.block_min() > end for s in sweeps)
+        bound = sum(s.block_ub() for s in sweeps)
+        if gap or (len(top_keys) == k and bound < theta):
+            for s in sweeps:
+                s.skip_through(end)
+            continue
+        pieces = [s.take_through(end) for s in sweeps]
+        kparts = [p[0] for p in pieces if p is not None and len(p[0])]
+        if len(kparts) < m:
+            continue
+        keys_cat = np.concatenate(kparts)
+        sc_cat = np.concatenate(
+            [p[1] for p in pieces if p is not None and len(p[0])]
+        )
+        uk, inv, cnt = np.unique(keys_cat, return_inverse=True, return_counts=True)
+        agg = np.zeros(len(uk), dtype=np.float64)
+        np.add.at(agg, inv, sc_cat)
+        full = cnt == m  # doc matched by every term (one posting per term)
+        uk, agg = uk[full], agg[full]
+        if not len(uk):
+            continue
+        ks = np.concatenate([top_keys, uk])
+        sc = np.concatenate([top_scores, agg])
+        order = np.lexsort((ks, -sc))[:k]
+        top_keys, top_scores = ks[order], sc[order]
+        if len(top_keys) == k:
+            theta = float(top_scores[-1])
+    return list(zip(top_keys.tolist(), top_scores.tolist()))

@@ -179,3 +179,76 @@ def test_block_sweep_matches_bruteforce_property(terms, k, block_size):
     exp = sorted(truth.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
     assert [d for d, _ in got] == [d for d, _ in exp]
     assert np.allclose([s for _, s in got], [s for _, s in exp], atol=1e-12)
+
+
+def test_and_matches_bruteforce(bm25, vocabulary):
+    for qid, q in make_query_fixtures(vocabulary):
+        for k in (1, 10):
+            _assert_equal(
+                bm25.search_and(q, k), bm25.search_bruteforce_and(q, k),
+                f"AND {qid} k={k}",
+            )
+    hot = vocabulary[:3]
+    _assert_equal(
+        bm25.search_and(" ".join(hot), 25),
+        bm25.search_bruteforce_and(" ".join(hot), 25),
+        "AND hot",
+    )
+
+
+def test_and_absent_term_empty(bm25, vocabulary):
+    assert len(bm25.search_and(f"{vocabulary[10]} zzzznotaterm", 10)) == 0
+
+
+def test_and_gap_prune_skips_blocks(bm25_skip):
+    """hot AND rare: only the 4 rare docs can match; the gap prune must
+    jump the hot list's blocks between them without decoding."""
+    q = "common rareterm"
+    total = bm25_skip.total_blocks(q)
+    before = bm25_skip.blocks_decoded
+    got = bm25_skip.search_and(q, 10)
+    decoded = bm25_skip.blocks_decoded - before
+    assert 0 < decoded < total
+    exp = bm25_skip.search_bruteforce_and(q, 10)
+    _assert_equal(got, exp, "AND skip query exact")
+    assert len(got) == 4  # exactly the seeded rare docs
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    terms=st.lists(
+        st.tuples(
+            st.dictionaries(
+                st.integers(min_value=0, max_value=25),
+                st.integers(min_value=1, max_value=5),
+                min_size=1,
+                max_size=18,
+            ),
+            st.floats(min_value=0.05, max_value=4.0, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=4,
+    ),
+    k=st.integers(min_value=1, max_value=8),
+    block_size=st.integers(min_value=1, max_value=5),
+)
+def test_block_sweep_and_matches_truth_property(terms, k, block_size):
+    from holi_search_engine_spark.plans.compression import BM25_K1
+    from holi_search_engine_spark.query.bm25 import block_sweep_topk_and
+
+    counter = [0]
+    sweeps = [_make_sweep(p, w, block_size, counter) for p, w in terms]
+    got = block_sweep_topk_and(sweeps, k, len(terms))
+
+    common = set(terms[0][0])
+    for postings, _ in terms[1:]:
+        common &= set(postings)
+    truth = {
+        d: sum(
+            w * p[d] * (BM25_K1 + 1.0) / (p[d] + BM25_K1) for p, w in terms
+        )
+        for d in common
+    }
+    exp = sorted(truth.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    assert [d for d, _ in got] == [d for d, _ in exp]
+    assert np.allclose([s for _, s in got], [s for _, s in exp], atol=1e-12)
