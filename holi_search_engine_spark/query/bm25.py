@@ -154,7 +154,12 @@ class _TermSweep:
         return out
 
 
-def block_sweep_topk(sweeps: list[_TermSweep], k: int) -> list[tuple[int, float]]:
+def block_sweep_topk(
+    sweeps: list[_TermSweep],
+    k: int,
+    lo: int | None = None,
+    hi: int | None = None,
+) -> list[tuple[int, float]]:
     """Exact top-k over a set of term sweeps via the block-range sweep
     (document-at-a-time at BLOCK granularity).
 
@@ -169,41 +174,60 @@ def block_sweep_topk(sweeps: list[_TermSweep], k: int) -> list[tuple[int, float]
     — the per-doc WAND pivot loop this replaced cost ~8µs/posting and
     dominated query p95.  Exactness (incl. the doc-asc tie-break) is
     property-tested against brute force in ``tests/test_bm25.py``.
+
+    ``lo``/``hi`` restrict scoring to doc keys in [lo, hi] — the
+    doc-range partition contract of the distributed top-k (every posting
+    of a doc shares its key, so a range sees each doc's FULL score or
+    none of it; per-range top-ks union exactly).
     """
     top_keys = np.empty(0, dtype=np.int64)
     top_scores = np.empty(0, dtype=np.float64)
     theta = -math.inf
+    if lo is not None and lo > 0:
+        for s in sweeps:
+            while not s.exhausted() and s.block_max() < lo:
+                s.advance_block()
+            if not s.exhausted():
+                s.skip_through(lo - 1)
 
     while True:
         live = [s for s in sweeps if not s.exhausted()]
+        if hi is not None:
+            live = [s for s in live if s.block_min() <= hi]
         if not live:
             break
         end = min(s.block_max() for s in live)
+        final = hi is not None and end >= hi
+        if final:
+            end = hi
         bound = sum(s.block_ub() for s in live if s.block_min() <= end)
         if len(top_keys) == k and bound < theta:
             # < θ strictly: ranges that could TIE still decode, so the
             # doc-asc tie-break stays exactly equal to brute force
             for s in live:
                 s.skip_through(end)
-            continue
-        pieces = [p for s in live for p in (s.take_through(end),) if p is not None]
-        kparts = [p[0] for p in pieces if len(p[0])]
-        if not kparts:
-            continue
-        if len(kparts) == 1:
-            uk, agg = kparts[0], [p[1] for p in pieces if len(p[0])][0]
         else:
-            keys_cat = np.concatenate(kparts)
-            sc_cat = np.concatenate([p[1] for p in pieces if len(p[0])])
-            uk, inv = np.unique(keys_cat, return_inverse=True)
-            agg = np.zeros(len(uk), dtype=np.float64)
-            np.add.at(agg, inv, sc_cat)
-        ks = np.concatenate([top_keys, uk])
-        sc = np.concatenate([top_scores, agg])
-        order = np.lexsort((ks, -sc))[:k]
-        top_keys, top_scores = ks[order], sc[order]
-        if len(top_keys) == k:
-            theta = float(top_scores[-1])
+            pieces = [
+                p for s in live for p in (s.take_through(end),) if p is not None
+            ]
+            kparts = [p[0] for p in pieces if len(p[0])]
+            if kparts:
+                if len(kparts) == 1:
+                    uk, agg = kparts[0], [p[1] for p in pieces if len(p[0])][0]
+                else:
+                    keys_cat = np.concatenate(kparts)
+                    sc_cat = np.concatenate([p[1] for p in pieces if len(p[0])])
+                    uk, inv = np.unique(keys_cat, return_inverse=True)
+                    agg = np.zeros(len(uk), dtype=np.float64)
+                    np.add.at(agg, inv, sc_cat)
+                ks = np.concatenate([top_keys, uk])
+                sc = np.concatenate([top_scores, agg])
+                order = np.lexsort((ks, -sc))[:k]
+                top_keys, top_scores = ks[order], sc[order]
+                if len(top_keys) == k:
+                    theta = float(top_scores[-1])
+        if final:  # the range is fully consumed at hi — a block spanning
+            break  # hi would otherwise pin end==hi forever
     return list(zip(top_keys.tolist(), top_scores.tolist()))
 
 
