@@ -202,11 +202,33 @@ def lsh_params_for_threshold(threshold: float, n_hashes: int) -> tuple[int, int]
     return best[1], best[2]
 
 
-def lsh_candidate_pairs(mh: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
+def _finish(result: DataFrame, *cached: DataFrame) -> DataFrame:
+    """Materialize ``result`` (eager localCheckpoint — pair/signature
+    tables, orders of magnitude smaller than the corpus) and THEN release
+    the persisted intermediates, so repeated dedup jobs in a long-lived
+    session don't accumulate cached corpus-sized plans.  The checkpointed
+    blocks themselves are reclaimed by Spark's ContextCleaner when the
+    returned frame is garbage-collected."""
+    out = result.localCheckpoint(eager=True)
+    for df in cached:
+        df.unpersist()
+    return out
+
+
+def lsh_candidate_pairs(
+    mh: DataFrame,
+    bands: int,
+    rows_per_band: int,
+    cache_registry: list[DataFrame] | None = None,
+) -> DataFrame:
     """Banded candidate generation: docs agreeing on ANY band's full
     signature pair up.  Only bucket-mates join — the quadratic step never
     sees the corpus, and a band bucket of k docs emits k² pairs only
-    within that bucket."""
+    within that bucket.
+
+    The band table is persisted (the self-join consumes it twice); pass
+    ``cache_registry`` to receive it for unpersisting once the result is
+    materialized (the top-level pipelines do, via :func:`_finish`)."""
     banded = mh.groupBy(
         "doc_id", F.floor(F.col("j") / rows_per_band).alias("band")
     ).agg(_sig_concat("j", "minhash").alias("band_sig"))
@@ -214,6 +236,8 @@ def lsh_candidate_pairs(mh: DataFrame, bands: int, rows_per_band: int) -> DataFr
     # pipeline's dominant agg — n_hashes× row amplification) once per
     # side; banded is only docs×bands rows, so persist it instead
     banded = banded.persist()
+    if cache_registry is not None:
+        cache_registry.append(banded)
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
@@ -275,26 +299,24 @@ def lsh_near_dup_pairs(
     pipeline at the oracle-checkable toy size (8 hashes, 4×2 bands,
     unthresholded).
 
-    Caching note: the shingle stream (here) and the band table (inside
-    :func:`lsh_candidate_pairs`) are persisted and stay registered until
-    evicted — Spark's LRU reclaims them under pressure, but a long-lived
-    session running many dedup jobs should ``spark.catalog.clearCache()``
-    (or unpersist via the returned plan's lineage) between jobs, as
-    ``bench.py`` does."""
+    The result is materialized eagerly (small pair table) so the persisted
+    intermediates — the shingle stream and the band table — can be
+    released before returning; repeated jobs in one session don't
+    accumulate cached corpus-sized plans."""
     if bands is None:
         bands, rows = lsh_params_for_threshold(threshold, n_hashes)
     else:
         assert n_hashes % bands == 0
         rows = n_hashes // bands
-    sh = shingles_of(docs, shingle)
     # the shingle stream feeds FOUR consumers (minhash, both sides of the
     # intersection join, set sizes); without a persist each one re-runs
     # tokenize+explode over the corpus — .explain showed 4 duplicated
     # scan subtrees.  MEMORY_AND_DISK: spills rather than recomputes.
-    sh = sh.persist()
+    sh = shingles_of(docs, shingle).persist()
+    cached: list[DataFrame] = [sh]
     mh = minhash_of(sh, n_hashes)
-    pairs = lsh_candidate_pairs(mh, bands, rows)
-    return verify_pairs_jaccard(sh, pairs, min_jaccard=threshold)
+    pairs = lsh_candidate_pairs(mh, bands, rows, cache_registry=cached)
+    return _finish(verify_pairs_jaccard(sh, pairs, min_jaccard=threshold), *cached)
 
 
 def _sig_concat(order_col: str, value_col: str):
@@ -365,9 +387,10 @@ def dedup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokenize+explode subtree re-ran per consumer (bench showed a 4-5×
     wall swing on this entry)."""
     sh = _shingles(spark, sf_dir).persist()
+    cached: list[DataFrame] = [sh]
     mh = _minhash(spark, sh)
-    pairs = lsh_candidate_pairs(mh, BANDS, ROWS_PER_BAND)
-    return verify_pairs_jaccard(sh, pairs)
+    pairs = lsh_candidate_pairs(mh, BANDS, ROWS_PER_BAND, cache_registry=cached)
+    return _finish(verify_pairs_jaccard(sh, pairs), *cached)
 
 
 PROD_N_HASHES = 128
@@ -513,7 +536,7 @@ def ngram_jaccard_pairs(
     of the probabilistic :func:`lsh_near_dup_pairs`."""
     sh = shingles_of(docs, shingle).persist()  # 5 consumers, one tokenize
     pairs = ngram_candidate_pairs(sh, df_cap, heavy_fallback)
-    return verify_pairs_jaccard(sh, pairs, min_jaccard=jaccard_min)
+    return _finish(verify_pairs_jaccard(sh, pairs, min_jaccard=jaccard_min), sh)
 
 
 @q("dedup_ngram_jaccard", _NGRAM_JACCARD_SQL)
@@ -709,7 +732,7 @@ def embedding_near_dup_pairs(
         lambda acc, x: acc + x,
     )
     cosine = F.round(dot / (F.col("a.nrm") * F.col("b.nrm")), 6)
-    return (
+    out = (
         bucketed.alias("a")
         .join(
             bucketed.alias("b"),
@@ -728,6 +751,7 @@ def embedding_near_dup_pairs(
         .where((F.col("_nn") > 0) & (F.col("cosine") >= cos_min))
         .drop("_nn")
     )
+    return _finish(out, bucketed)
 
 
 _EMB_H = portable_hash32_sql

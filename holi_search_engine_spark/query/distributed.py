@@ -194,6 +194,31 @@ class DistributedRanker:
         return pd.DataFrame(columns=cols)
 
 
+def doc_range_bounds(dl: DataFrame, r: int) -> list[tuple[int, int, int]]:
+    """Disjoint, covering (range_id, lo, hi) doc-key ranges with ~equal
+    DOC counts per range.
+
+    Bounds come from doc_key QUANTILES, not a uniform key-space split:
+    packed keys (``conv_num<<6|turn_idx``) are sparse and conv-id
+    clustering skews uniform spans arbitrarily, while quantile cuts put
+    ~1/r of the docs in every range at any key distribution — one cheap
+    extra job over the 16 B/doc doc_len table.  Duplicate/out-of-range
+    cuts collapse (fewer, still-covering ranges).  Empty table → [].
+    """
+    lo_hi = dl.agg(F.min("doc_key"), F.max("doc_key")).first()
+    if lo_hi[0] is None:
+        return []
+    key_lo, key_hi = int(lo_hi[0]), int(lo_hi[1])
+    cuts = (
+        dl.stat.approxQuantile("doc_key", [i / r for i in range(1, r)], 0.001)
+        if r > 1
+        else []
+    )
+    edges = sorted({key_lo - 1, *(int(c) for c in cuts if key_lo <= c < key_hi),
+                    key_hi})
+    return [(i, edges[i] + 1, edges[i + 1]) for i in range(len(edges) - 1)]
+
+
 def distributed_bm25_topk(
     spark: SparkSession,
     paths: IndexPaths,
@@ -249,12 +274,12 @@ def distributed_bm25_topk(
         )
 
     dl = read_table(spark, paths.doc_len)
-    lo_hi = dl.agg(F.min("doc_key"), F.max("doc_key")).first()
-    key_lo, key_hi = int(lo_hi[0]), int(lo_hi[1])
     r = n_ranges or spark.sparkContext.defaultParallelism
-    span = max(1, (key_hi - key_lo + r) // r)
-    bounds = [(i, key_lo + i * span, min(key_hi, key_lo + (i + 1) * span - 1))
-              for i in range(r) if key_lo + i * span <= key_hi]
+    bounds = doc_range_bounds(dl, r)
+    if not bounds:  # empty corpus: build writes meta but no doc rows
+        return doc_key_to_cols(np.array([], dtype=np.int64), meta["doc_cols"]).assign(
+            score=pd.Series([], dtype="float64")
+        )
     # two independent range frames: reusing one lineage on both cogroup
     # sides trips Spark's ambiguous-self-join check
     rdf = spark.createDataFrame(bounds, "range_id int, lo long, hi long")
@@ -278,7 +303,10 @@ def distributed_bm25_topk(
     b_avgdl, b_weights, b_k = float(avgdl), dict(weights), int(k)
 
     def kernel(key, blocks_pdf, dl_pdf):
-        if not len(blocks_pdf):
+        # empty dl_pdf: the range overlaps a block's [key_min, key_max]
+        # but contains no actual docs (packed keys are sparse) — nothing
+        # can score, and _NormLookup over zero rows would IndexError
+        if not len(blocks_pdf) or not len(dl_pdf):
             return pd.DataFrame({"doc_key": pd.Series([], dtype="int64"),
                                  "score": pd.Series([], dtype="float64")})
         lo = int(blocks_pdf["lo"].iloc[0])

@@ -51,3 +51,95 @@ def test_distributed_bm25_matches_engine(spark, built_index, vocabulary):
             assert list(got["conv_id"]) == list(exp["conv_id"]), (qid, nr)
             assert list(got["turn_idx"]) == list(exp["turn_idx"]), (qid, nr)
             assert np.allclose(got["score"], exp["score"], atol=1e-9), (qid, nr)
+
+
+@pytest.fixture(scope="module")
+def clustered_index(spark, dictionary, tmp_path_factory):
+    """Pathologically clustered doc-key space: two tight conv-number
+    clusters separated by a ~10^9-key void.  A uniform key-space split
+    puts nearly every range in the void (doc-free ranges that still
+    overlap blocks — the empty-dl_pdf kernel crash), while quantile
+    bounds balance docs per range."""
+    import shutil
+
+    from holi_search_engine_spark.corpus import generate_transcripts_pdf
+    from holi_search_engine_spark.plans.index_build import build_index
+
+    pdf = generate_transcripts_pdf(40)
+    nums = sorted({int(c.split("-")[1]) for c in pdf["conv_id"]})
+    remap = {}
+    for i, n in enumerate(nums):
+        base = 1 if i < len(nums) // 2 else 90_000_000
+        remap[n] = base + i
+    pdf = pdf.assign(
+        conv_id=[f"conv-{remap[int(c.split('-')[1])]:08d}" for c in pdf["conv_id"]]
+    )
+    pdf["ts"] = pdf["ts"].dt.tz_localize(None)
+    out = str(tmp_path_factory.mktemp("index") / "clustered")
+    shutil.rmtree(out, ignore_errors=True)
+    return build_index(
+        spark, spark.createDataFrame(pdf), out, dictionary, buckets=2,
+        build_blocks=True, build_postings_table=False,
+    )
+
+
+def test_distributed_sparse_clustered_keys(spark, clustered_index, vocabulary):
+    """High n_ranges over the sparse clustered key space: doc-free ranges
+    spanned by blocks must score as empty (regression: _NormLookup over an
+    empty dl slice raised IndexError), and results stay rank-identical to
+    the single-node engine."""
+    import numpy as np
+
+    from holi_search_engine_spark.corpus import make_query_fixtures
+    from holi_search_engine_spark.query.bm25 import BM25Engine
+    from holi_search_engine_spark.query.distributed import distributed_bm25_topk
+
+    eng = BM25Engine(spark, clustered_index)
+    for qid, q in make_query_fixtures(vocabulary)[:4]:
+        exp = eng.search(q, 10)
+        got = distributed_bm25_topk(spark, clustered_index, q, 10, n_ranges=32)
+        assert list(got["conv_id"]) == list(exp["conv_id"]), qid
+        assert np.allclose(got["score"], exp["score"], atol=1e-9), qid
+
+
+def test_doc_range_bounds_balanced(spark, clustered_index):
+    """Quantile bounds put ~equal docs in every range even under key
+    clustering (uniform spans would leave most ranges empty)."""
+    from pyspark.sql import functions as F
+
+    from holi_search_engine_spark.query.distributed import doc_range_bounds
+    from holi_search_engine_spark.sources.catalog import read_table
+
+    dl = read_table(spark, clustered_index.doc_len)
+    n_docs = dl.count()
+    bounds = doc_range_bounds(dl, 8)
+    assert len(bounds) >= 6  # dup cuts may collapse a range or two
+    los = [lo for _, lo, _ in bounds]
+    his = [hi for _, _, hi in bounds]
+    assert los[1:] == [h + 1 for h in his[:-1]]  # disjoint + covering
+    counts = [
+        dl.where((F.col("doc_key") >= lo) & (F.col("doc_key") <= hi)).count()
+        for _, lo, hi in bounds
+    ]
+    assert sum(counts) == n_docs
+    assert max(counts) <= 2 * max(1, min(counts))
+
+
+def test_distributed_empty_corpus(spark, dictionary, tmp_path_factory):
+    """An empty-corpus index (build writes meta, zero doc rows) returns an
+    empty frame instead of raising on the min/max None row."""
+    from holi_search_engine_spark.plans.index_build import build_index
+    from holi_search_engine_spark.query.distributed import distributed_bm25_topk
+
+    empty = spark.createDataFrame(
+        [],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    out = str(tmp_path_factory.mktemp("index") / "empty")
+    paths = build_index(
+        spark, empty, out, dictionary, buckets=2, build_blocks=True,
+        build_postings_table=False,
+    )
+    got = distributed_bm25_topk(spark, paths, "alpha bravo", 10, n_ranges=4)
+    assert len(got) == 0
