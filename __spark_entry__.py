@@ -32,9 +32,14 @@ from holi_search_engine_spark.operators import (  # noqa: E402
     urlops,
 )
 
+# Registration order IS the driver's verification order (the correctness
+# gate records the first 50 entries).  The previously-unverified and
+# highest-risk operators register first: events/graph/multimodal/urlops/
+# curation (driver-unseen in round 2), then the search/index/dedup core,
+# with the compound flame entries last.
 _MODULES = [
-    flame_ops, fulltext, dedup, textstats, similarity, events, graph, multimodal,
-    urlops, curation,
+    events, graph, multimodal, urlops, curation,
+    fulltext, dedup, textstats, similarity, flame_ops,
 ]
 
 

@@ -202,16 +202,26 @@ def lsh_params_for_threshold(threshold: float, n_hashes: int) -> tuple[int, int]
     return best[1], best[2]
 
 
+_RESULT_CACHES: list[DataFrame] = []
+_RESULT_CACHE_KEEP = 4
+
+
 def _finish(result: DataFrame, *cached: DataFrame) -> DataFrame:
-    """Materialize ``result`` (eager localCheckpoint — pair/signature
-    tables, orders of magnitude smaller than the corpus) and THEN release
-    the persisted intermediates, so repeated dedup jobs in a long-lived
-    session don't accumulate cached corpus-sized plans.  The checkpointed
-    blocks themselves are reclaimed by Spark's ContextCleaner when the
-    returned frame is garbage-collected."""
-    out = result.localCheckpoint(eager=True)
+    """Materialize ``result`` into the cache (pair tables — orders of
+    magnitude smaller than the corpus) and THEN release the persisted
+    corpus-sized intermediates, so repeated dedup jobs in a long-lived
+    session don't accumulate cached plans.  Result caches themselves are
+    bounded: beyond the last ``_RESULT_CACHE_KEEP`` results the oldest is
+    unpersisted (still correct if a caller kept it — the lineage just
+    recomputes).  persist (not localCheckpoint) keeps the physical plan
+    inspectable — ``scripts/plan_audit.py`` asserts these plans' shapes."""
+    out = result.persist()
+    out.count()
     for df in cached:
         df.unpersist()
+    _RESULT_CACHES.append(out)
+    while len(_RESULT_CACHES) > _RESULT_CACHE_KEEP:
+        _RESULT_CACHES.pop(0).unpersist()
     return out
 
 

@@ -226,7 +226,12 @@ def _search_sql(query_text: str) -> str:
     )
 
 
-def search_topk(spark: SparkSession, sf_dir: str, query_text: str = SEARCH_QUERY_TEXT) -> DataFrame:
+def search_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    query_text: str = SEARCH_QUERY_TEXT,
+    prior: DataFrame | None = None,
+) -> DataFrame:
     """Full Ranker scoring (steps 4-10 of SURVEY.md §2.4) as one Catalyst
     plan: candidate gen via posting join, occurrence pre-rank cut at 250,
     Q5 first-hit tf drop, tf-idf weight with idf^1.5 and the Q1 ntf
@@ -289,18 +294,93 @@ def search_topk(spark: SparkSession, sf_dir: str, query_text: str = SEARCH_QUERY
         .when(F.col("overlap") >= 0.6, F.col("overlap") * 10)
         .otherwise(F.lit(0.0))
     )
-    return (
-        w.join(ov, "doc_id")
-        .select(
+    scored = w.join(ov, "doc_id")
+    if prior is not None:
+        # static prior completes the reference formula (Ranker.java:255):
+        # score = 3·weight + 0.75·pagerank + kw_match; absent docs → 0
+        scored = scored.join(F.broadcast(prior), "doc_id", "left").na.fill(
+            {"rank": 0.0}
+        )
+        return scored.select(
             "doc_id",
             "occurrence",
-            F.round(3 * F.col("weight") + kw, 6).alias("score"),
+            F.round("rank", 6).alias("page_rank"),
+            F.round(
+                3 * F.col("weight") + 0.75 * F.col("rank") + kw, 6
+            ).alias("score"),
         )
+    return scored.select(
+        "doc_id",
+        "occurrence",
+        F.round(3 * F.col("weight") + kw, 6).alias("score"),
     )
 
 
 QUERIES["search_topk"] = lambda spark, sf_dir: search_topk(spark, sf_dir)
 ORACLE["search_topk"] = _search_sql(SEARCH_QUERY_TEXT)
+
+PRIOR_HUB_MOD = 100  # prior-graph shape: doc d (d ≥ 100) links to doc d%100
+
+
+def _prior_sql(query_text: str) -> str:
+    """The search SQL with the static prior folded in: the prior is the
+    reference PageRank iteration over the bipartite hub graph (docs ≥ 100
+    each link once to doc_id%100), whose converged ranks have the closed
+    form srcs=0.15, hubs=0.15+0.85·Σ 0.15/outdeg — the same trick as the
+    ``graph_pagerank`` oracle."""
+    base = _search_sql(query_text)
+    head, tail = base.rsplit("FROM w JOIN ov o ON o.doc_id = w.doc_id", 1)
+    assert not tail.strip()
+    # insert the prior CTEs after the last CTE and rewrite the final select
+    head = head.replace(
+        "SELECT w.doc_id, w.occurrence,",
+        f""", pr_edges AS (SELECT DISTINCT doc_id AS src, doc_id % {PRIOR_HUB_MOD} AS dst
+               FROM documents WHERE doc_id >= {PRIOR_HUB_MOD}),
+    pr_out AS (SELECT src, count(*) AS od FROM pr_edges GROUP BY src),
+    pr_contrib AS (SELECT dst AS vertex, sum(0.15 / od) AS s
+                   FROM pr_edges JOIN pr_out USING (src) GROUP BY dst),
+    pr_verts AS (SELECT DISTINCT src AS vertex FROM pr_edges
+                 UNION SELECT DISTINCT dst FROM pr_edges),
+    prior AS (SELECT v.vertex AS doc_id, 0.15 + 0.85 * coalesce(c.s, 0) AS rank
+              FROM pr_verts v LEFT JOIN pr_contrib c USING (vertex))
+    SELECT w.doc_id, w.occurrence,
+           round(coalesce(p.rank, 0), 6) AS page_rank,""",
+    )
+    head = head.replace(
+        "round(3 * w.weight",
+        "round(3 * w.weight + 0.75 * coalesce(p.rank, 0)",
+    )
+    return (
+        head
+        + "FROM w JOIN ov o ON o.doc_id = w.doc_id "
+        + "LEFT JOIN prior p ON p.doc_id = w.doc_id"
+    )
+
+
+def search_topk_prior(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`search_topk` with a NONZERO static prior: the reference's
+    full scoring formula ``3·weight + 0.75·pagerank + kw_match``
+    (``Ranker.java:255``) with the prior computed by the engine's real
+    PageRank iteration (``plans/pagerank.py``, reference semantics) over
+    a deterministic bipartite hub graph on the documents table.  The
+    serving engines read the same prior from the ``pageranks`` index
+    artifact (``build_reply_pagerank``; pytest-gated in
+    ``tests/test_pagerank.py``)."""
+    from ..plans.pagerank import pagerank
+
+    docs = load(spark, sf_dir, "documents")
+    edges = docs.where(F.col("doc_id") >= PRIOR_HUB_MOD).select(
+        F.col("doc_id").alias("src"),
+        (F.col("doc_id") % PRIOR_HUB_MOD).alias("dst"),
+    )
+    ranks = pagerank(edges, max_iter=10).select(
+        F.col("vertex").cast("long").alias("doc_id"), "rank"
+    )
+    return search_topk(spark, sf_dir, prior=ranks)
+
+
+QUERIES["search_topk_prior"] = search_topk_prior
+ORACLE["search_topk_prior"] = _prior_sql(SEARCH_QUERY_TEXT)
 
 SEARCH_QUERY_TEXT_2 = "data data table"  # repeated term → qtf = 2
 QUERIES["search_topk_qtf"] = lambda spark, sf_dir: search_topk(

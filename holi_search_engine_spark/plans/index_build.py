@@ -231,6 +231,12 @@ class IndexPaths:
         return os.path.join(self.root, "blocks")
 
     @property
+    def pageranks(self) -> str:
+        # optional static-prior artifact (the reference's pageranks table,
+        # Ranker.java:112-120); built by plans.pagerank.build_reply_pagerank
+        return os.path.join(self.root, "pageranks")
+
+    @property
     def manifest(self) -> str:
         return os.path.join(self.root, "_manifest")
 

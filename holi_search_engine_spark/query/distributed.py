@@ -28,7 +28,7 @@ import numpy as np
 
 from ..plans.compression import decode_block, doc_key_expr, doc_key_to_cols
 from ..plans.index_build import IndexPaths, read_meta
-from ..sources.catalog import read_table
+from ..sources.catalog import read_table, table_exists
 from .ranker import EXPAND_THRESHOLD, TOP_CUT
 from .stopwords import STOPWORDS
 
@@ -63,6 +63,8 @@ class DistributedRanker:
         meta = read_meta(paths)
         self.doc_cols: list[str] = meta["doc_cols"]
         self.buckets: int = meta["buckets"]
+        # optional static prior (Ranker.java:112-120); absent ⇒ 0
+        self._has_pagerank = table_exists(spark, paths.pageranks)
 
     def _term_buckets(self, terms: list[str]) -> dict[str, int]:
         if not terms:
@@ -163,17 +165,28 @@ class DistributedRanker:
             .when(overlap >= 0.6, overlap * 10)
             .otherwise(F.lit(0.0))
         )
-        result = (
+        base = (
             cut.join(scored_hits, "doc_key", "left")
             .na.fill({"weight": 0.0})
             .join(meta_df, "doc_key", "left")
-            .select(
+        )
+        # static prior 0.75·pagerank (Ranker.java:255): per-candidate join
+        # against the doc-keyed pageranks artifact when built, else 0
+        if self._has_pagerank:
+            pr = read_table(self.spark, self.paths.pageranks).select(
+                "doc_key", F.col("rank").alias("page_rank")
+            )
+            base = base.join(pr, "doc_key", "left").na.fill({"page_rank": 0.0})
+        else:
+            base = base.withColumn("page_rank", F.lit(0.0))
+        result = (
+            base.select(
                 "doc_key",
                 "occurrence",
                 F.col("weight").alias("tf_idf_weight"),
-                F.lit(0.0).alias("page_rank"),
+                "page_rank",
                 kw.alias("keyword_match"),
-                (3 * F.col("weight") + kw).alias("score"),
+                (3 * F.col("weight") + 0.75 * F.col("page_rank") + kw).alias("score"),
             )
             .orderBy(F.col("score").desc(), "doc_key")
         )

@@ -36,7 +36,7 @@ from ..functions.javacompat import java_hashset_order
 from ..oracle.pandas_oracle import _RE_PUNCT  # same normalization regex
 from ..plans.compression import decode_block, doc_key_expr, doc_key_to_cols
 from ..plans.index_build import IndexPaths, artifact_nbytes, read_meta
-from ..sources.catalog import read_table
+from ..sources.catalog import read_table, table_exists
 from .stopwords import STOPWORDS
 
 TOP_CUT = 250  # Ranker.java:205
@@ -105,6 +105,10 @@ class RankerEngine:
             OrderedDict()
         )
         self._postings_cache_bytes = 0
+        # optional static prior (the reference's pageranks table,
+        # Ranker.java:112-120); absent ⇒ every doc's prior is 0
+        self._pagerank: pd.Series | None = None
+        self._has_pagerank = table_exists(spark, paths.pageranks)
         self.preloaded = _should_preload(paths, preload, preload_max_bytes)
         if self.preloaded:
             self._preload()
@@ -132,6 +136,9 @@ class RankerEngine:
             .toPandas()
         )
         self._meta_pdf = dm.set_index("doc_key")
+        if self._has_pagerank:
+            pr = read_table(self.spark, self.paths.pageranks).toPandas()
+            self._pagerank = pr.set_index("doc_key")["rank"]
 
     #: decoded-postings LRU caps.  Zipf-head terms (stopword fallback
     #: queries) dominate decode cost and repeat across queries; a small
@@ -224,6 +231,28 @@ class RankerEngine:
             return self._ntf.reindex(keys).to_numpy(dtype=np.float64)
         pdf = self._keyed_rows(self.paths.ntf, keys, "ntf")
         return pdf.set_index("doc_key")["ntf"].reindex(keys).to_numpy(dtype=np.float64)
+
+    def _pagerank_for(self, keys: np.ndarray) -> np.ndarray:
+        """Static prior per candidate: 0 when the artifact is absent or
+        the doc has no rank row (reference default).  The pageranks table
+        stores doc_key directly, so the degraded-mode read prunes on it."""
+        if not self._has_pagerank:
+            return np.zeros(len(keys), dtype=np.float64)
+        if self._pagerank is not None:
+            return (
+                self._pagerank.reindex(keys).fillna(0.0).to_numpy(dtype=np.float64)
+            )
+        pdf = (
+            read_table(self.spark, self.paths.pageranks)
+            .where(F.col("doc_key").isin([int(k) for k in keys]))
+            .toPandas()
+        )
+        return (
+            pdf.set_index("doc_key")["rank"]
+            .reindex(keys)
+            .fillna(0.0)
+            .to_numpy(dtype=np.float64)
+        )
 
     def _titles_for(self, keys: np.ndarray) -> pd.Series:
         if self._meta_pdf is not None:
@@ -343,7 +372,9 @@ class RankerEngine:
             )
             bonus = np.where((~exact) & (overlap >= 0.6), overlap * 10, 0.0)
             kw = np.where(exact, 10.0, bonus)
-        page_rank = np.zeros(len(cands), dtype=np.float64)  # static prior = 0
+        # static prior: 0.75·pagerank (Ranker.java:255); zeros unless the
+        # optional pageranks artifact was built (build_reply_pagerank)
+        page_rank = self._pagerank_for(keys)
         score = 3 * weight + 0.75 * page_rank + kw
         out = pd.DataFrame(
             {

@@ -89,6 +89,20 @@ def write_table(
     return "parquet"
 
 
+def table_exists(spark: SparkSession, path: str) -> bool:
+    """Whether the artifact at ``path`` exists in whichever store holds it
+    — the probe for OPTIONAL artifacts (e.g. the pageranks prior)."""
+    if use_iceberg(spark):
+        return spark.catalog.tableExists(table_for(path))
+    if "://" not in path:
+        return os.path.isdir(path)
+    try:
+        spark.read.parquet(path)
+        return True
+    except Exception:
+        return False
+
+
 def read_table(spark: SparkSession, path: str) -> DataFrame:
     """Read the artifact at ``path`` from whichever store holds it.  Both
     branches return a plain DataFrame, so downstream filter pushdown and
