@@ -23,6 +23,45 @@ def q(name: str, sql: str | None = None):
     return deco
 
 
+#: The correctness-gate streaming entries seed their own inbox; cap the
+#: seeded stream so a state-store-heavy drain can't eat the verification
+#: window (round-2 verdict #9).  The oracle twins carry the same cap.
+STREAM_USER_CAP = 50
+
+#: State partitions for the gate's streaming drains.  A stateful query
+#: pins its partition count from the FIRST checkpoint, and every
+#: micro-batch commits one state file per partition — at the gate's tiny
+#: corpus 32 partitions is pure commit overhead (the checkpoint dir also
+#: sits on the sandbox's slow shared disk unless tmpfs is available).
+STREAM_SHUFFLE_PARTITIONS = "8"
+
+
+def _fast_tmpdir(prefix: str) -> str:
+    """Temp dir for stream inbox/checkpoint/sink: tmpfs when available
+    (the sandbox's /tmp is a shared virtio disk with multi-second sync
+    stalls — BENCH/BASELINE.md; state-store commits amplify that)."""
+    import os
+    import tempfile
+
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    return tempfile.mkdtemp(prefix=prefix, dir=base)
+
+
+class _stream_partitions:
+    """Temporarily pin spark.sql.shuffle.partitions for a gate drain
+    (fresh checkpoint each run, so the pinned count never conflicts)."""
+
+    def __init__(self, spark: SparkSession, n: str = STREAM_SHUFFLE_PARTITIONS):
+        self.spark, self.n = spark, n
+
+    def __enter__(self):
+        self.old = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.n)
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.old)
+
+
 @q(
     "events_window_agg",
     """
@@ -113,7 +152,8 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, ts, event_id, value,
              CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
                   OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
-      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      FROM events WHERE user_id < 50
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     sess AS (
       SELECT user_id, ts, value,
@@ -141,26 +181,29 @@ def events_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     session (which streaming correctly keeps open as state — no later
     event has arrived to close it).  Session boundaries depend only on
     sorted ts values, so equal-timestamp arrival order cannot change the
-    result; total_value is rounded to 2dp on both sides."""
+    result; total_value is rounded to 2dp on both sides.  The seeded
+    stream is capped to ``STREAM_USER_CAP`` users and the drain runs at
+    ``STREAM_SHUFFLE_PARTITIONS`` state partitions on tmpfs — the gate
+    checks operator CORRECTNESS, not drain throughput."""
     import glob
     import os
     import shutil
-    import tempfile
 
     from ..streaming.incremental import stream_sessionize
 
-    base = tempfile.mkdtemp(prefix="holi_stream_sess_")
+    base = _fast_tmpdir("holi_stream_sess_")
     out, ckpt = os.path.join(base, "out"), os.path.join(base, "ckpt")
     inbox = os.path.join(base, "in")
-    os.makedirs(inbox)
-    # the file stream source requires a DIRECTORY; the sf table is a bare
-    # parquet file — link it into a temp inbox
-    os.symlink(
-        os.path.join(sf_dir, "events.parquet"), os.path.join(inbox, "events.parquet")
-    )
+    # the file stream source requires a DIRECTORY of parquet files; seed
+    # it with the capped slice of the events table
+    load(spark, sf_dir, "events").where(
+        F.col("user_id") < STREAM_USER_CAP
+    ).coalesce(1).write.parquet(inbox)
     try:
-        q_ = stream_sessionize(spark, inbox, out, ckpt, gap_sec=1800)
-        if not q_.awaitTermination(600):
+        with _stream_partitions(spark):
+            q_ = stream_sessionize(spark, inbox, out, ckpt, gap_sec=1800)
+            done = q_.awaitTermination(600)
+        if not done:
             # drain overran the budget: stop before the finally-rmtree
             # deletes the checkpoint under a live query, and fail loudly
             # rather than comparing partial output against the oracle
@@ -190,7 +233,7 @@ def events_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_stream_dedup",
     """
     SELECT event_id, user_id, event_type, round(value, 2) AS value
-    FROM events
+    FROM events WHERE user_id < 50
     """,
 )
 def events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -200,22 +243,26 @@ def events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-deliveries — without seeding, the table's unique event_ids would
     make the check vacuous), streamed through the dedup operator under
     ``availableNow``, and the output must equal the original table — the
-    oracle is the batch ``distinct()`` twin over the same rows."""
+    oracle is the batch ``distinct()`` twin over the same rows.  Capped
+    and partition-pinned like ``events_stream_sessionize``."""
     import os
     import shutil
-    import tempfile
 
     from ..streaming.incremental import stream_dedup
 
-    base = tempfile.mkdtemp(prefix="holi_stream_dedup_")
+    base = _fast_tmpdir("holi_stream_dedup_")
     inbox = os.path.join(base, "in")
     out, ckpt = os.path.join(base, "out"), os.path.join(base, "ckpt")
     try:
-        events = load(spark, sf_dir, "events")
+        events = load(spark, sf_dir, "events").where(
+            F.col("user_id") < STREAM_USER_CAP
+        )
         dupes = events.where(F.col("event_id") % 50 == 0)
         events.unionByName(dupes).coalesce(2).write.parquet(inbox)
-        q_ = stream_dedup(spark, inbox, out, ckpt)
-        if not q_.awaitTermination(600):
+        with _stream_partitions(spark):
+            q_ = stream_dedup(spark, inbox, out, ckpt)
+            done = q_.awaitTermination(600)
+        if not done:
             # drain overran the budget: stop before the finally-rmtree
             # deletes the checkpoint under a live query, and fail loudly
             # rather than comparing partial output against the oracle

@@ -534,36 +534,74 @@ def search_bm25_and_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SNIPPET_TERM = "stream"
+SNIPPET_TERMS = ("stream", "join", "table")
 SNIPPET_W = 90  # snippet window (chars)
+SNIPPET_PRE = 30  # chars of context before the anchor
 
 
-@q(
-    "search_snippets",
-    f"""
-    SELECT doc_id, pos,
-           substr(text, greatest(1, pos - 30), {SNIPPET_W}) AS snippet
-    FROM (SELECT doc_id, text,
-                 strpos(lower(text), '{SNIPPET_TERM}') AS pos
-          FROM documents)
-    WHERE pos > 0
-    """,
-)
+def _snippets_sql(terms: tuple[str, ...]) -> str:
+    vals = ", ".join(f"('{t}')" for t in terms)
+    return f"""
+    WITH pos AS (
+      SELECT doc_id, text, strpos(lower(text), t.term) AS p
+      FROM documents, (VALUES {vals}) AS t(term)
+    ),
+    cov AS (
+      SELECT a.doc_id, a.text, a.p,
+             (SELECT count(*) FROM pos q
+              WHERE q.doc_id = a.doc_id AND q.p > 0
+                AND q.p >= a.p - {SNIPPET_PRE}
+                AND q.p < a.p + {SNIPPET_W - SNIPPET_PRE}) AS n_cov
+      FROM pos a WHERE a.p > 0
+    )
+    SELECT doc_id, p AS pos, n_cov,
+           substr(text, greatest(1, p - {SNIPPET_PRE}), {SNIPPET_W}) AS snippet
+    FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY n_cov DESC, p) AS rn
+          FROM cov)
+    WHERE rn = 1
+    """
+
+
+@q("search_snippets", _snippets_sql(SNIPPET_TERMS))
 def search_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Query-anchored snippet extraction: a {SNIPPET_W}-char window around
-    the first occurrence of the query term (the reference serves static
-    first-300-char snippets, ``ranker/CrawlProcess.java:49-56``;
-    query-dependent windows are the step every result page needs).  Pure
-    Catalyst string ops over a pruned scan — map-only at any scale."""
+    """Query-anchored snippet extraction, BEST window across ALL query
+    terms: each term's first occurrence is a candidate anchor; the window
+    covering the most query-term occurrences wins (ties → earliest
+    anchor).  The reference serves static first-300-char snippets
+    (``ranker/CrawlProcess.java:49-56``); query-dependent multi-term
+    windows are the step every result page needs.  Pure Catalyst
+    higher-order array ops over a pruned scan — map-only at any scale."""
     docs = load(spark, sf_dir, "documents")
-    pos = F.instr(F.lower("text"), SNIPPET_TERM)
+    pos_arr = F.array(*[F.instr(F.lower("text"), t) for t in SNIPPET_TERMS])
+    anchors = F.filter(pos_arr, lambda p: p > 0)
+    # per anchor: how many terms' first occurrences the window captures;
+    # max of struct(cov, -pos) = best coverage, earliest anchor on ties
+    scored = F.transform(
+        anchors,
+        lambda a: F.struct(
+            F.size(
+                F.filter(
+                    pos_arr,
+                    lambda q: (q > 0)
+                    & (q >= a - SNIPPET_PRE)
+                    & (q < a + (SNIPPET_W - SNIPPET_PRE)),
+                )
+            ).alias("cov"),
+            (-a).alias("np"),
+        ),
+    )
+    best = F.array_max(scored)
+    pos = -F.col("b.np")
     return (
-        docs.select(
+        docs.select("doc_id", "text", best.alias("b"))
+        .where(F.col("b").isNotNull())
+        .select(
             "doc_id",
             pos.alias("pos"),
+            F.col("b.cov").alias("n_cov"),
             F.substring(
-                "text", F.greatest(F.lit(1), pos - 30), F.lit(SNIPPET_W)
+                "text", F.greatest(F.lit(1), pos - SNIPPET_PRE), F.lit(SNIPPET_W)
             ).alias("snippet"),
         )
-        .where(F.col("pos") > 0)
     )

@@ -146,14 +146,6 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("j", F.transform("ws", lambda s: s.w).alias("w"))
     )
 
-    def bucket_expr(vec_col):
-        # bit_j = 1 if <vec, plane_j> > 0
-        return F.aggregate(
-            F.col("bits"),
-            F.lit(0).cast("long"),
-            lambda acc, b: acc * 2 + b,
-        )
-
     with_bits = (
         emb.crossJoin(F.broadcast(planes))
         .select(
@@ -303,27 +295,79 @@ def _ivf_search(
     )
 
 
-def kmeans_centroids(emb: DataFrame, k: int = IVF_CELLS, iters: int = 5) -> DataFrame:
+def _kcenter_init(emb: DataFrame, k: int) -> DataFrame:
+    """Deterministic farthest-point (greedy k-center) seeding over a
+    hash-ordered sample — the k-means++-quality init with no RNG.  One
+    Spark pass takes the sample (smallest portable hashes); the greedy
+    selection runs driver-side in numpy over that bounded sample, then
+    the k seeds broadcast back.  Hash-only seeding can land two seeds in
+    one true cluster and strand Lloyd's in a local optimum; spreading
+    seeds by cosine distance avoids exactly that."""
+    import numpy as np
+
+    h = portable_hash32(F.col("vec_id").cast("string"))
+    n_sample = max(64 * k, 256)
+    sample = (
+        emb.select("vec_id", "embedding", h.alias("h"))
+        .orderBy("h", "vec_id")
+        .limit(n_sample)
+        .toPandas()
+    )
+    mat = np.array(sample["embedding"].tolist(), dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    unit = mat / norms[:, None]
+    chosen = [0]  # smallest hash
+    min_sim = unit @ unit[0]
+    for _ in range(1, min(k, len(mat))):
+        nxt = int(np.argmin(min_sim))  # farthest by cosine; ties → first row
+        chosen.append(nxt)
+        min_sim = np.maximum(min_sim, unit @ unit[nxt])
+    spark = emb.sparkSession
+    return spark.createDataFrame(
+        [
+            (i, [float(x) for x in mat[c].astype(np.float32)])
+            for i, c in enumerate(chosen)
+        ],
+        "cid int, cvec array<float>",
+    )
+
+
+def kmeans_centroids(
+    emb: DataFrame, k: int = IVF_CELLS, iters: int = 5, init: str = "kcenter"
+) -> DataFrame:
     """Distributed Lloyd's k-means over the embedding column — the
     production IVF coarse quantizer (the oracle entry's first-k centroids
     are a determinism device, not a quantizer).
 
-    Deterministic init: the k vectors with the smallest ``xxhash64(vec_id)``
-    (a seeded pseudo-random sample with no RNG).  Each iteration is one
-    broadcast-join assignment (map-side, no shuffle of the corpus) plus
-    one elementwise-mean update via ``posexplode → groupBy(cid, pos)`` —
-    n·dim rows through a map-side-combined aggregation, the textbook
-    Spark k-means shape.  Centroids are ``localCheckpoint``-ed per
-    iteration to cut lineage growth.  Empty cells simply drop (k shrinks),
-    which IVF tolerates."""
+    Deterministic init, two flavors: ``"kcenter"`` (default) spreads
+    seeds by farthest-point over a hash-ordered sample
+    (:func:`_kcenter_init` — the production-quality choice); ``"hash"``
+    takes the k vectors with the smallest portable hash — weaker seeding,
+    but exactly expressible in the DuckDB oracle (``ann_ivf_topk_kmeans``
+    pins it).  Each iteration is one broadcast-join assignment (map-side,
+    no shuffle of the corpus) plus one elementwise-mean update via
+    ``posexplode → groupBy(cid, pos)`` — n·dim rows through a
+    map-side-combined aggregation, the textbook Spark k-means shape.
+    Centroids are ``localCheckpoint``-ed per iteration to cut lineage
+    growth.  Empty cells simply drop (k shrinks), which IVF tolerates.
+
+    Portability choices shared with the DuckDB twin (``_kmeans_sql``):
+    the md5-derived portable hash, 6dp-rounded assignment argmins, and
+    float32-cast centroid means — absorbing cross-engine summation-order
+    drift below float32 epsilon so the pinned-iteration oracle stays
+    hash-identical."""
     from pyspark.sql import Window
 
-    h = F.xxhash64(F.col("vec_id").cast("string"))
-    seeds = emb.select("vec_id", "embedding", h.alias("h")).orderBy("h").limit(k)
-    cent = seeds.select(
-        (F.row_number().over(Window.orderBy("h")) - 1).alias("cid"),
-        F.col("embedding").alias("cvec"),
-    ).localCheckpoint()
+    if init == "kcenter":
+        cent = _kcenter_init(emb, k).localCheckpoint()
+    else:
+        h = portable_hash32(F.col("vec_id").cast("string"))
+        seeds = emb.select("vec_id", "embedding", h.alias("h")).orderBy("h").limit(k)
+        cent = seeds.select(
+            (F.row_number().over(Window.orderBy("h")) - 1).alias("cid"),
+            F.col("embedding").alias("cvec"),
+        ).localCheckpoint()
     for _ in range(iters):
         best = _assign_nearest(emb, cent)
         cent = (
@@ -348,10 +392,93 @@ def ann_ivf_topk_kmeans(
     nprobe: int = IVF_NPROBE,
     top_k: int = TOP_K,
     iters: int = 5,
+    init: str = "kcenter",
 ) -> DataFrame:
     """Production IVF: k-means-trained centroids + the shared search body."""
-    cent = kmeans_centroids(emb, k_cells, iters)
+    cent = kmeans_centroids(emb, k_cells, iters, init=init)
     return _ivf_search(emb, cent, query_vec_id, nprobe, top_k)
+
+
+KMEANS_ORACLE_ITERS = 2  # pinned so the DuckDB twin can unroll the loop
+
+
+def _kmeans_sql(k: int, iters: int) -> str:
+    """Unrolled Lloyd's iterations as plain CTEs (``cent0`` … ``cent{n}``)
+    — the same pinned-iteration determinism trick as ``graph_pagerank``.
+    Each iteration: 6dp-rounded argmin assignment, elementwise mean per
+    (cid, pos) via lateral unnest+subscripts, mean cast to float32."""
+    h = portable_hash32_sql("vec_id::VARCHAR")
+    parts = [
+        f"""seeds AS (
+      SELECT vec_id, embedding, {h} AS h FROM embeddings ORDER BY h LIMIT {k}
+    ),
+    cent0 AS (
+      SELECT row_number() OVER (ORDER BY h) - 1 AS cid, embedding AS cvec
+      FROM seeds
+    )"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""assign{i} AS (
+      SELECT vec_id, embedding, cid FROM (
+        SELECT e.vec_id, e.embedding, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                              c.cvec::DOUBLE[]), 6) DESC,
+                 c.cid) AS rn
+        FROM embeddings e, cent{i - 1} c
+      ) WHERE rn = 1
+    ),
+    cent{i} AS (
+      SELECT cid, list(m::FLOAT ORDER BY pos) AS cvec FROM (
+        SELECT a.cid, u.pos, avg(u.x) AS m
+        FROM assign{i} a,
+             (SELECT unnest(a.embedding) AS x,
+                     generate_subscripts(a.embedding, 1) AS pos) u
+        GROUP BY a.cid, u.pos
+      ) GROUP BY cid
+    )"""
+        )
+    return ",\n    ".join(parts)
+
+
+@q(
+    "ann_ivf_topk_kmeans",
+    f"""
+    WITH {_kmeans_sql(IVF_CELLS, KMEANS_ORACLE_ITERS)},
+    qv AS (SELECT embedding AS probe FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+    best AS (
+      SELECT vec_id, embedding, cid FROM (
+        SELECT e.vec_id, e.embedding, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                              c.cvec::DOUBLE[]), 6) DESC,
+                 c.cid) AS rn
+        FROM embeddings e, cent{KMEANS_ORACLE_ITERS} c
+      ) WHERE rn = 1
+    ),
+    qcells AS (
+      SELECT c.cid FROM cent{KMEANS_ORACLE_ITERS} c, qv
+      ORDER BY round(list_cosine_similarity(c.cvec::DOUBLE[], qv.probe::DOUBLE[]), 6)
+               DESC, c.cid
+      LIMIT {IVF_NPROBE}
+    )
+    SELECT b.vec_id,
+           round(list_cosine_similarity(b.embedding::DOUBLE[], qv.probe::DOUBLE[]), 6)
+             AS cosine
+    FROM best b JOIN qcells q ON b.cid = q.cid, qv
+    ORDER BY cosine DESC, b.vec_id
+    LIMIT {TOP_K}
+    """,
+)
+def ann_ivf_topk_kmeans_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION IVF path as a driver-checked entry: real
+    :func:`kmeans_centroids` training (deterministic portable-hash init)
+    at the pinned ``KMEANS_ORACLE_ITERS`` iteration count, then the shared
+    :func:`_ivf_search` body — hash-matched against a full DuckDB twin
+    that unrolls the same Lloyd's iterations."""
+    emb = load(spark, sf_dir, "embeddings")
+    return ann_ivf_topk_kmeans(emb, iters=KMEANS_ORACLE_ITERS, init="hash")
 
 
 PAIR_LIMIT = 300  # pairwise over a bounded slice — at scale this runs per LSH bucket

@@ -376,9 +376,18 @@ class BM25Engine:
         term_blocks = [(t, self._term_blocks(t)) for t in terms]
         if any(g is None for _, g in term_blocks) or not term_blocks:
             return self._to_frame([])  # a missing term empties the AND
-        # candidate mass is bounded by the RAREST term's list
-        rarest = min(self._term_df(t) for t, _ in term_blocks)
-        if rarest > self.TAAT_THRESHOLD or len(term_blocks) == 1:
+        # candidate mass is bounded by the RAREST term's list.  Route to
+        # the gap-pruned sweep when the rarest list is small in absolute
+        # terms OR small RELATIVE to the union: for "rare-ish AND
+        # enormous" (df 10k vs 10M) the sweep still wins by jumping the
+        # huge list in block units between the rare docs, while brute
+        # force pays the full union decode.  Brute-force only when the
+        # lists are comparably sized (no gap to exploit) or single-term.
+        dfs = [self._term_df(t) for t, _ in term_blocks]
+        rarest, total = min(dfs), sum(dfs)
+        if len(term_blocks) == 1 or (
+            rarest > self.TAAT_THRESHOLD and total < self.AND_ASYM_RATIO * rarest
+        ):
             return self.search_bruteforce_and(query, k)
         sweeps = [
             _TermSweep(g, self._weight(t), self._dl_norm, self._decode_counter)
@@ -466,6 +475,13 @@ class BM25Engine:
     # to per-document Python over the posting union (~8µs/doc) while the
     # numpy path costs ~50ns/posting — the crossover is a few thousand.
     TAAT_THRESHOLD = 5_000
+
+    # Conjunctive asymmetry ratio: when the posting-union exceeds this
+    # multiple of the rarest list, the AND sweep's gap jumps amortize the
+    # per-block Python even for a large rarest list (it touches O(union
+    # blocks) at worst but usually far fewer; brute force always decodes
+    # the full union).
+    AND_ASYM_RATIO = 8
 
     def search(self, query: str, k: int = 10) -> pd.DataFrame:
         """Exact BM25 top-k: block-max WAND with block-granular skipping,

@@ -252,3 +252,29 @@ def test_block_sweep_and_matches_truth_property(terms, k, block_size):
     exp = sorted(truth.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
     assert [d for d, _ in got] == [d for d, _ in exp]
     assert np.allclose([s for _, s in got], [s for _, s in exp], atol=1e-12)
+
+
+def test_and_rareish_vs_enormous_routes_to_sweep(bm25_skip):
+    """Routing regression (round-2 verdict #5): when the rarest list
+    exceeds TAAT_THRESHOLD but the union dwarfs it, search_and must still
+    take the gap-pruned sweep (old routing brute-forced on the rarest df
+    alone).  Forced here by dropping the threshold below the rare df:
+    rarest=4 > threshold=2, union=4100 ≥ 8·rarest → sweep, exact, and
+    strictly fewer blocks decoded than the skip-free union."""
+    old = bm25_skip.TAAT_THRESHOLD
+    bm25_skip.TAAT_THRESHOLD = 2
+    try:
+        q = "common rareterm"
+        total = bm25_skip.total_blocks(q)
+        before = bm25_skip.blocks_decoded
+        got = bm25_skip.search_and(q, 10)
+        decoded = bm25_skip.blocks_decoded - before
+        assert 0 < decoded < total, (decoded, total)
+        _assert_equal(got, bm25_skip.search_bruteforce_and(q, 10), "exact")
+        # single-term conjunctions still route to the vectorized path
+        # (no cursor decodes; "common common" dedups to one term)
+        before = bm25_skip.blocks_decoded
+        bm25_skip.search_and("common common", 5)
+        assert bm25_skip.blocks_decoded == before
+    finally:
+        bm25_skip.TAAT_THRESHOLD = old
