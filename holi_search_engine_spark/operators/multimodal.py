@@ -1,13 +1,21 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary``
 columns with typed metadata, processed via Arrow-batched ``mapInPandas``.
 
-The decode step is STUBBED (image/audio libraries are not in this
-container): ``decode_media`` raises ``NotImplementedError`` unless the
-deterministic fake decoder is selected, which derives a stable feature
-vector / frame sample from the bytes alone.  Everything around the stub —
-schema, partitioning, UDF signatures, Arrow batch shapes — is real and
-tested (tests/test_multimodal.py), so swapping in PIL/torchaudio later is
-a one-function change.
+The decode step is REAL for two container formats this environment can
+handle with the standard library alone:
+
+- **PNG images** (8-bit gray/gray+alpha/RGB/RGBA, non-interlaced):
+  chunk parse + zlib inflate + full scanline unfiltering (None/Sub/Up/
+  Average/Paeth) — ``_png_decode`` / ``_png_encode``;
+- **WAV audio** (PCM 8/16/32-bit): RIFF parse via the stdlib ``wave``
+  module → normalized float32 samples — ``_wav_decode`` / ``_wav_encode``.
+
+Video (and any other container) remains a documented stub: no container
+codecs exist in the stdlib, so ``decode_media`` falls back to a
+deterministic fake signal (``fake=True``) or raises
+``NotImplementedError`` (``fake=False``).  A production swap-in (pyav,
+a JNI codec) changes only the decoder body — schema, partitioning, UDF
+signatures, and Arrow batch shapes stay as tested.
 
 Scale notes: media bytes never pass through a shuffle — feature extraction
 is map-only over the scan, and only the (doc, features) projection (a few
@@ -17,6 +25,8 @@ hundred bytes/row instead of megabytes) flows into joins downstream.
 from __future__ import annotations
 
 import hashlib
+import struct
+import zlib
 
 import numpy as np
 import pandas as pd
@@ -30,45 +40,213 @@ MEDIA_SCHEMA = (
 FEATURE_DIM = 16
 FRAME_COUNT = 4
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # colortype → samples/pixel
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def _png_encode(arr: np.ndarray, filters: list[int] | None = None) -> bytes:
+    """Minimal real PNG encoder (8-bit, non-interlaced): (H,W) gray or
+    (H,W,{2,3,4}) arrays.  ``filters`` optionally picks the per-row filter
+    type (0-4) — used by tests to exercise every decoder unfilter path."""
+    a = np.ascontiguousarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, ch = a.shape
+    colortype = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    raw = a.reshape(h, w * ch)
+    prev = np.zeros(w * ch, dtype=np.uint8)
+    lines = []
+    for y in range(h):
+        f = filters[y % len(filters)] if filters else 0
+        row = raw[y].astype(np.int16)
+        left = np.concatenate([np.zeros(ch, np.int16), row[:-ch]])
+        up = prev.astype(np.int16)
+        upleft = np.concatenate([np.zeros(ch, np.int16), up[:-ch]])
+        if f == 0:
+            enc = row
+        elif f == 1:
+            enc = row - left
+        elif f == 2:
+            enc = row - up
+        elif f == 3:
+            enc = row - (left + up) // 2
+        else:
+            p = left + up - upleft
+            pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - upleft)
+            pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, upleft))
+            enc = row - pred
+        lines.append(bytes([f]) + (enc % 256).astype(np.uint8).tobytes())
+        prev = raw[y]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, colortype, 0, 0, 0)
+    return (
+        _PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"".join(lines)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _png_decode(data: bytes) -> np.ndarray:
+    """Real PNG decode with the stdlib alone: chunk walk → zlib inflate →
+    scanline unfilter (all five filter types).  Supports the common case
+    (bit depth 8, non-interlaced, colortypes 0/2/4/6); palette/16-bit/
+    interlaced raise ValueError.  Returns (H, W, channels) uint8."""
+    if data[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos, idat, ihdr = 8, [], None
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"IDAT":
+            idat.append(body)
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, colortype, _comp, _filt, interlace = ihdr
+    if depth != 8 or interlace != 0 or colortype not in _PNG_CHANNELS:
+        raise ValueError(
+            f"unsupported PNG (depth={depth}, colortype={colortype}, "
+            f"interlace={interlace}) — 8-bit non-interlaced 0/2/4/6 only"
+        )
+    ch = _PNG_CHANNELS[colortype]
+    stride = w * ch
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG IDAT length mismatch")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        f = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, np.uint8, stride, y * (stride + 1) + 1
+        ).astype(np.int32)
+        if f == 0:
+            rec = line
+        elif f == 2:
+            rec = (line + prev) % 256
+        elif f in (1, 3, 4):
+            # left-dependent filters are sequential per pixel; the loop is
+            # over pixels of one row (test-sized images here — a production
+            # deployment swaps in a native codec, same signature)
+            rec = np.zeros(stride, dtype=np.int32)
+            for i in range(stride):
+                a = rec[i - ch] if i >= ch else 0
+                b = prev[i]
+                if f == 1:
+                    rec[i] = (line[i] + a) % 256
+                elif f == 3:
+                    rec[i] = (line[i] + (a + b) // 2) % 256
+                else:
+                    c = prev[i - ch] if i >= ch else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    rec[i] = (line[i] + pred) % 256
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+        out[y] = rec.astype(np.uint8)
+        prev = rec
+    return out.reshape(h, w, ch)
+
+
+def _wav_encode(samples: np.ndarray, rate: int = 16000) -> bytes:
+    """Real WAV encoder: float samples in [-1, 1] → 16-bit PCM mono."""
+    import io
+    import wave
+
+    pcm = np.clip(np.asarray(samples, dtype=np.float64), -1.0, 1.0)
+    pcm16 = np.round(pcm * 32767.0).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(rate)
+        f.writeframes(pcm16.tobytes())
+    return buf.getvalue()
+
+
+def _wav_decode(data: bytes) -> np.ndarray:
+    """Real WAV decode (stdlib ``wave``): PCM 8/16/32-bit, any channel
+    count → normalized float32 in [-1, 1] (channels interleaved)."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(data), "rb") as f:
+        width = f.getsampwidth()
+        frames = f.readframes(f.getnframes())
+    if width == 2:
+        return (np.frombuffer(frames, "<i2").astype(np.float32)) / 32768.0
+    if width == 4:
+        return (np.frombuffer(frames, "<i4").astype(np.float32)) / 2147483648.0
+    if width == 1:  # 8-bit WAV is unsigned
+        return (np.frombuffer(frames, np.uint8).astype(np.float32) - 128.0) / 128.0
+    raise ValueError(f"unsupported WAV sample width {width}")
+
 
 def synth_media_df(spark: SparkSession, n: int = 64) -> DataFrame:
-    """Deterministic synthetic media table (binary payload = repeated md5
-    stream of the id) for exercising the plumbing."""
+    """Deterministic synthetic media table with REAL container payloads
+    where a stdlib codec exists: images are actual PNGs (deterministic
+    gradient), audio rows are actual 16-bit PCM WAVs (deterministic sine
+    mix); video rows keep the opaque md5 stream (decode stubbed)."""
     rows = []
     types = ["image", "audio", "video"]
     for i in range(n):
         mt = types[i % 3]
-        seed = f"media-{i}".encode()
-        payload = b"".join(
-            hashlib.md5(seed + bytes([j])).digest() for j in range(8 + i % 5)
-        )
-        rows.append(
-            (
-                i,
-                mt,
-                bytearray(payload),
-                64 + i % 32 if mt == "image" else None,
-                48 + i % 32 if mt == "image" else None,
-                1000 * (1 + i % 30) if mt != "image" else None,
+        if mt == "image":
+            w, h = 16 + i % 8, 12 + i % 8
+            yy, xx = np.mgrid[0:h, 0:w]
+            img = ((xx * 7 + yy * 13 + i * 29) % 256).astype(np.uint8)
+            payload = _png_encode(img)
+            rows.append((i, mt, bytearray(payload), w, h, None))
+        elif mt == "audio":
+            t = np.arange(160 + 16 * (i % 5)) / 16000.0
+            sig = 0.5 * np.sin(2 * np.pi * (220 + 11 * i) * t)
+            payload = _wav_encode(sig)
+            rows.append((i, mt, bytearray(payload), None, None, 1000 * (1 + i % 30)))
+        else:
+            seed = f"media-{i}".encode()
+            payload = b"".join(
+                hashlib.md5(seed + bytes([j])).digest() for j in range(8 + i % 5)
             )
-        )
+            rows.append((i, mt, bytearray(payload), None, None, 1000 * (1 + i % 30)))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
 def decode_media(payload: bytes, media_type: str, fake: bool = True) -> np.ndarray:
-    """Decode a media payload into a sample array.
+    """Decode a media payload into a flat float32 sample array.
 
-    ``fake=True`` (the only mode available in this container) derives a
-    deterministic pseudo-signal from the bytes.  A real deployment replaces
-    this body with PIL / soundfile / pyav decoding — the signature and the
-    callers do not change.
+    Recognized containers decode FOR REAL (stdlib-only codecs): PNG →
+    pixels/255 in [0, 1]; WAV → PCM samples in [-1, 1].  Anything else
+    (video containers; formats needing external codecs) falls back to a
+    deterministic fake signal when ``fake=True``, else raises — the
+    production swap-in (pyav etc.) changes only this body.
     """
+    data = bytes(payload)
+    if data[:8] == _PNG_MAGIC:
+        return _png_decode(data).astype(np.float32).ravel() / 255.0
+    if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+        return _wav_decode(data)
     if not fake:
         raise NotImplementedError(
-            "real media decoding requires PIL/soundfile/pyav, not present "
-            "in this environment — use fake=True (deterministic stand-in)"
+            "no stdlib codec for this payload (video containers need "
+            "pyav/ffmpeg, absent here) — use fake=True (deterministic "
+            "stand-in)"
         )
-    arr = np.frombuffer(payload, dtype=np.uint8).astype(np.float32)
+    arr = np.frombuffer(data, dtype=np.uint8).astype(np.float32)
     return arr / 255.0
 
 
