@@ -41,6 +41,11 @@ AUDIT: list[tuple[str, list[str], list[str]]] = [
     # never a global sort of the corpus
     ("ann_cosine_topk", ["TakeOrderedAndProject"], ["Exchange rangepartitioning"]),
     ("search_topk", ["TakeOrderedAndProject"], ["Exchange rangepartitioning"]),
+    # the static prior joins broadcast (a per-doc rank table must never
+    # shuffle the candidate side at serving time)
+    ("search_topk_prior", ["BroadcastHashJoin"], ["Exchange rangepartitioning"]),
+    # multi-term snippets stay a map-only scan: no exchange, no join
+    ("search_snippets", ["ReadSchema: struct<doc_id:bigint,text:string>"], ["Exchange"]),
     # LSH candidate generation joins bucket-mates only — equi-join on
     # (band, band_sig), never a cartesian; the persisted band table shows
     # up as an InMemoryTableScan
