@@ -147,12 +147,12 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q(
     "events_stream_sessionize",
-    """
+    f"""
     WITH gaps AS (
       SELECT user_id, ts, event_id, value,
              CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
                   OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
-      FROM events WHERE user_id < 50
+      FROM events WHERE user_id < {STREAM_USER_CAP}
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     sess AS (
@@ -231,9 +231,9 @@ def events_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q(
     "events_stream_dedup",
-    """
+    f"""
     SELECT event_id, user_id, event_type, round(value, 2) AS value
-    FROM events WHERE user_id < 50
+    FROM events WHERE user_id < {STREAM_USER_CAP}
     """,
 )
 def events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:

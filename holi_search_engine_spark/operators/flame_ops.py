@@ -368,10 +368,16 @@ def flame_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0).alias("x"),
     )
 
-    load(spark, sf_dir, "part").createOrReplaceTempView("flame_delete_target")
-    n_before = spark.table("flame_delete_target").count()
-    spark.catalog.dropTempView("flame_delete_target")
-    dropped = float(not spark.catalog.tableExists("flame_delete_target"))
+    # per-call-unique view name: a fixed shared name would let two
+    # concurrent runs in one session race register/count/drop (the same
+    # rule as the per-call private sink dir above)
+    import uuid
+
+    view = f"flame_delete_target_{uuid.uuid4().hex}"
+    load(spark, sf_dir, "part").createOrReplaceTempView(view)
+    n_before = spark.table(view).count()
+    spark.catalog.dropTempView(view)
+    dropped = float(not spark.catalog.tableExists(view))
     delete_row = spark.createDataFrame(
         [("delete", "part", n_before, dropped)], "op string, k string, n long, x double"
     )

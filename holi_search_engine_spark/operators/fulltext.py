@@ -332,6 +332,7 @@ def _prior_sql(query_text: str) -> str:
     head, tail = base.rsplit("FROM w JOIN ov o ON o.doc_id = w.doc_id", 1)
     assert not tail.strip()
     # insert the prior CTEs after the last CTE and rewrite the final select
+    before = head
     head = head.replace(
         "SELECT w.doc_id, w.occurrence,",
         f""", pr_edges AS (SELECT DISTINCT doc_id AS src, doc_id % {PRIOR_HUB_MOD} AS dst
@@ -346,10 +347,13 @@ def _prior_sql(query_text: str) -> str:
     SELECT w.doc_id, w.occurrence,
            round(coalesce(p.rank, 0), 6) AS page_rank,""",
     )
+    assert head != before, "prior-CTE anchor vanished from _search_sql"
+    before = head
     head = head.replace(
         "round(3 * w.weight",
         "round(3 * w.weight + 0.75 * coalesce(p.rank, 0)",
     )
+    assert head != before, "score-formula anchor vanished from _search_sql"
     return (
         head
         + "FROM w JOIN ov o ON o.doc_id = w.doc_id "

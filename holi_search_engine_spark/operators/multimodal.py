@@ -236,10 +236,17 @@ def decode_media(payload: bytes, media_type: str, fake: bool = True) -> np.ndarr
     production swap-in (pyav etc.) changes only this body.
     """
     data = bytes(payload)
-    if data[:8] == _PNG_MAGIC:
-        return _png_decode(data).astype(np.float32).ravel() / 255.0
-    if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
-        return _wav_decode(data)
+    try:
+        if data[:8] == _PNG_MAGIC:
+            return _png_decode(data).astype(np.float32).ravel() / 255.0
+        if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+            return _wav_decode(data)
+    except Exception:
+        # recognized magic but unsupported/corrupt container (palette or
+        # interlaced PNG, truncated stream): fake mode keeps its
+        # never-raise contract and falls through to the stand-in signal
+        if not fake:
+            raise
     if not fake:
         raise NotImplementedError(
             "no stdlib codec for this payload (video containers need "

@@ -313,6 +313,8 @@ def _kcenter_init(emb: DataFrame, k: int) -> DataFrame:
         .limit(n_sample)
         .toPandas()
     )
+    if not len(sample):
+        return emb.sparkSession.createDataFrame([], "cid int, cvec array<float>")
     mat = np.array(sample["embedding"].tolist(), dtype=np.float64)
     norms = np.linalg.norm(mat, axis=1)
     norms[norms == 0] = 1.0
@@ -363,9 +365,15 @@ def kmeans_centroids(
         cent = _kcenter_init(emb, k).localCheckpoint()
     else:
         h = portable_hash32(F.col("vec_id").cast("string"))
-        seeds = emb.select("vec_id", "embedding", h.alias("h")).orderBy("h").limit(k)
+        # vec_id tie-break: a 32-bit hash collision would otherwise make
+        # seed membership/numbering engine-arbitrary vs the DuckDB twin
+        seeds = (
+            emb.select("vec_id", "embedding", h.alias("h"))
+            .orderBy("h", "vec_id")
+            .limit(k)
+        )
         cent = seeds.select(
-            (F.row_number().over(Window.orderBy("h")) - 1).alias("cid"),
+            (F.row_number().over(Window.orderBy("h", "vec_id")) - 1).alias("cid"),
             F.col("embedding").alias("cvec"),
         ).localCheckpoint()
     for _ in range(iters):
@@ -410,10 +418,12 @@ def _kmeans_sql(k: int, iters: int) -> str:
     h = portable_hash32_sql("vec_id::VARCHAR")
     parts = [
         f"""seeds AS (
-      SELECT vec_id, embedding, {h} AS h FROM embeddings ORDER BY h LIMIT {k}
+      SELECT vec_id, embedding, {h} AS h FROM embeddings
+      ORDER BY h, vec_id LIMIT {k}
     ),
     cent0 AS (
-      SELECT row_number() OVER (ORDER BY h) - 1 AS cid, embedding AS cvec
+      SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cid,
+             embedding AS cvec
       FROM seeds
     )"""
     ]

@@ -90,12 +90,14 @@ def write_table(
 
 
 def table_exists(spark: SparkSession, path: str) -> bool:
-    """Whether the artifact at ``path`` exists in whichever store holds it
-    — the probe for OPTIONAL artifacts (e.g. the pageranks prior)."""
+    """Whether the artifact at ``path`` exists AND is readable in
+    whichever store holds it — the probe for OPTIONAL artifacts (e.g. the
+    pageranks prior).  The parquet branch probes through Spark (one
+    schema-inference call at engine init), not driver-local ``isdir``:
+    schemeless paths resolve against the cluster's default filesystem,
+    and an empty directory left by a crashed write must read as absent."""
     if use_iceberg(spark):
         return spark.catalog.tableExists(table_for(path))
-    if "://" not in path:
-        return os.path.isdir(path)
     try:
         spark.read.parquet(path)
         return True

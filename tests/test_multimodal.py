@@ -127,3 +127,17 @@ def test_decode_media_routes_real_codecs(spark, media):
                 assert 0.0 <= sig.min() and sig.max() <= 1.0
             else:
                 assert -1.0 <= sig.min() and sig.max() <= 1.0
+
+
+def test_fake_mode_never_raises_on_corrupt_containers():
+    """A payload with a recognized magic but corrupt/unsupported body must
+    fall back to the deterministic fake signal in fake mode (the
+    never-raise contract of the default pipeline path) and raise the
+    decode error in strict mode."""
+    from holi_search_engine_spark.operators.multimodal import _PNG_MAGIC
+
+    corrupt = _PNG_MAGIC + b"\x00\x01garbage"
+    sig = decode_media(corrupt, "image", fake=True)
+    assert len(sig) == len(corrupt)
+    with pytest.raises(Exception):
+        decode_media(corrupt, "image", fake=False)
