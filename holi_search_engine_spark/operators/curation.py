@@ -174,3 +174,113 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("start_off") / SEQ_LEN).cast("long").alias("seq_in_shard"),
         (F.col("start_off") % SEQ_LEN).cast("long").alias("offset_in_seq"),
     )
+
+
+# ------------------------------------------------------- curation pipeline
+
+#: quality floor for the curated corpus (same formula as text_quality)
+CURATE_MIN_QUALITY = 0.5
+#: prefix-fingerprint length (tokens): cheap boilerplate/lead dedup — the
+#: URL-prefix-style exact stage web pipelines run BEFORE MinHash (full-text
+#: md5 dedup is vacuous on the synthetic corpus: zero exact dupes; the
+#: 8-token prefix collides for ~5% of docs, so the stage does real work)
+CURATE_PREFIX_TOKENS = 8
+
+from .textstats import STOP_PROBE as _CURATE_STOP_LIST  # noqa: E402
+from .textstats import _PUNCT_CLASS as _CURATE_PUNCT  # noqa: E402
+
+_CURATE_STOPS = ", ".join(f"'{w}'" for w in _CURATE_STOP_LIST)
+
+
+@q(
+    "corpus_curate_pipeline",
+    f"""
+    WITH scored AS (
+      SELECT doc_id,
+             string_split_regex(trim(text), '\\s+') AS toks,
+             length(text) AS n_chars,
+             length(regexp_replace(text, '{_CURATE_PUNCT}', '', 'g')) AS n_punct
+      FROM documents
+    ),
+    feats AS (
+      SELECT doc_id,
+             len(toks) AS n_tokens,
+             (SELECT count(*) FROM unnest(toks) AS u(t)
+              WHERE lower(u.t) IN ({_CURATE_STOPS})) AS n_stop,
+             n_punct::DOUBLE / greatest(n_chars, 1) AS punct_ratio,
+             md5(array_to_string(list_transform(
+                   toks[1:{CURATE_PREFIX_TOKENS}], t -> lower(t)), ' '))
+               AS fingerprint
+      FROM scored
+    ),
+    quality AS (
+      SELECT doc_id, fingerprint,
+             round(0.4 * least(n_tokens / 100.0, 1.0)
+                   + 0.3 * (1 - punct_ratio)
+                   + 0.3 * least(4 * n_stop::DOUBLE / greatest(n_tokens, 1), 1.0),
+                   6) AS quality,
+             n_stop::DOUBLE / greatest(n_tokens, 1) AS stop_ratio
+      FROM feats
+    ),
+    kept AS (
+      SELECT doc_id, fingerprint, quality,
+             row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn
+      FROM quality
+      WHERE quality >= {CURATE_MIN_QUALITY} AND stop_ratio >= 0.05
+    )
+    SELECT doc_id, fingerprint, quality FROM kept WHERE rn = 1
+    """,
+)
+def corpus_curate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END curation: quality filter → language gate → exact prefix
+    dedup, composed exactly as a pretraining pipeline runs them (filter
+    cheap-to-compute signals first, dedup the survivors, emit the curated
+    doc set).  All pure Catalyst: one scan computes every signal, the
+    dedup is one hash-partitioned window (keep the smallest doc_id per
+    fingerprint) — no Python, no extra scans, one shuffle.
+
+    Stages share the exact formulas of their standalone entries
+    (``text_quality``'s 0.4/0.3/0.3 blend, ``text_langid``'s
+    stop-ratio≥0.05 gate) so the composition is the integration test of
+    those signals; the fingerprint is the {CURATE_PREFIX_TOKENS}-token
+    lowercase prefix (see CURATE_PREFIX_TOKENS note)."""
+    from .textstats import STOP_PROBE, _PUNCT_CLASS
+
+    docs = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != "")
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: F.lower(t).isin(STOP_PROBE)))
+    n_chars = F.length("text")
+    n_punct = F.length(F.regexp_replace("text", _PUNCT_CLASS, ""))
+    stop_ratio = n_stop.cast("double") / F.greatest(n_tokens, F.lit(1))
+    punct_ratio = n_punct.cast("double") / F.greatest(n_chars, F.lit(1))
+    quality = F.round(
+        0.4 * F.least(n_tokens / F.lit(100.0), F.lit(1.0))
+        + 0.3 * (1 - punct_ratio)
+        + 0.3 * F.least(4 * stop_ratio, F.lit(1.0)),
+        6,
+    )
+    fingerprint = F.md5(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.slice(toks, 1, CURATE_PREFIX_TOKENS), lambda t: F.lower(t)
+            ),
+        )
+    )
+    scored = docs.select(
+        "doc_id",
+        fingerprint.alias("fingerprint"),
+        quality.alias("quality"),
+        stop_ratio.alias("stop_ratio"),
+    ).where(
+        (F.col("quality") >= CURATE_MIN_QUALITY) & (F.col("stop_ratio") >= 0.05)
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "fingerprint", "quality")
+    )
