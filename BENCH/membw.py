@@ -32,6 +32,8 @@ def _stream(args):
     os.sched_setaffinity(0, cpus)
     a = np.random.default_rng(1).integers(0, 255, 200_000_000, dtype=np.uint8)
     b = np.empty_like(a)
+    np.copyto(b, a)  # fault b's pages BEFORE timing: concurrent first-touch
+    # can be pathologically slow on this host and poisons the first window
     t0 = time.time()
     n = 0
     while time.time() - t0 < secs:

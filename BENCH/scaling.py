@@ -49,6 +49,8 @@ def _stream(secs):
     import numpy as np
     a = np.random.default_rng(1).integers(0, 255, 150_000_000, dtype=np.uint8)
     b = np.empty_like(a)
+    np.copyto(b, a)  # fault b's pages BEFORE timing: concurrent first-touch
+    # can be pathologically slow on this host and poisons the first window
     t0 = time.time(); n = 0
     while time.time() - t0 < secs:
         np.copyto(b, a); n += 1
