@@ -23,6 +23,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions.javacompat import java_hashset_order
+from ..functions.xxhash import term_bucket
 from ..oracle.pandas_oracle import _RE_PUNCT
 import numpy as np
 
@@ -67,13 +68,12 @@ class DistributedRanker:
         self._has_pagerank = table_exists(spark, paths.pageranks)
 
     def _term_buckets(self, terms: list[str]) -> dict[str, int]:
-        if not terms:
-            return {}
-        tdf = self.spark.createDataFrame([(t,) for t in terms], "term string")
-        rows = tdf.select(
-            "term", F.pmod(F.xxhash64("term"), F.lit(self.buckets)).cast("int").alias("b")
-        ).collect()
-        return {r["term"]: r["b"] for r in rows}
+        # driver-side pure-Python xxhash64 (validated bit-identical to
+        # F.xxhash64 in tests/test_distributed.py) — the previous
+        # createDataFrame(...).collect() form submitted a ~100 ms Spark
+        # job per query just to evaluate pmod(xxhash64(term), buckets),
+        # dominating a serving path whose p95 budget is ~10 ms
+        return {t: term_bucket(t, self.buckets) for t in terms}
 
     def _postings_df(self, lookup_terms: list[str]) -> DataFrame:
         """(term, ord, doc_key, tf) for the query terms, bucket-pruned."""
@@ -232,31 +232,20 @@ def doc_range_bounds(dl: DataFrame, r: int) -> list[tuple[int, int, int]]:
     return [(i, edges[i] + 1, edges[i + 1]) for i in range(len(edges) - 1)]
 
 
-def distributed_bm25_topk(
+def distributed_bm25_local_topk(
     spark: SparkSession,
     paths: IndexPaths,
     query: str,
     k: int = 10,
     n_ranges: int | None = None,
-) -> pd.DataFrame:
-    """Exact distributed BM25 top-k over the EXISTING term-bucketed block
-    index by partitioning the DOC-KEY SPACE at query time.
-
-    Each range task receives only the query terms' blocks overlapping its
-    key range (``key_min``/``key_max`` are plain columns, so the overlap
-    predicate prunes at the scan) plus its range's slice of the
-    doc-length table, runs the same :func:`~..query.bm25.block_sweep_topk`
-    bounded to the range, and emits a local top-k.  Every posting of a
-    doc shares its key, so a range sees each doc's full score or none of
-    it — the union of per-range top-ks contains the global top-k, and one
-    tiny driver-side merge finishes exactly (scores AND doc-asc
-    tie-breaks identical to ``BM25Engine.search``).
-
-    This is the 10^12-turn path: no executor ever holds more than its
-    range's blocks, the hot term's list splits across ranges, and adding
-    executors adds ranges.  Tested rank-identical to the single-node
-    engine in ``tests/test_distributed.py``.
-    """
+) -> DataFrame | None:
+    """The Spark side of :func:`distributed_bm25_topk`: per-range local
+    top-k rows (doc_key, score), BEFORE the driver merge.  Exposed
+    separately so the plan audit can assert the job's physical shape
+    (bucket partition pruning + term pushdown at the block scan, broadcast
+    range join, cogroup→applyInPandas kernel).  Returns None when the
+    query can produce no rows (no terms / no matching terms / empty
+    corpus)."""
     from .bm25 import (
         BM25_B,
         _NormLookup,
@@ -269,9 +258,7 @@ def distributed_bm25_topk(
     n_docs, avgdl = meta["n_docs"], meta.get("avgdl") or 1.0
     terms = list(dict.fromkeys(_RE_PUNCT.sub(" ", query).strip().lower().split()))
     if not terms:
-        return doc_key_to_cols(np.array([], dtype=np.int64), meta["doc_cols"]).assign(
-            score=pd.Series([], dtype="float64")
-        )
+        return None
     # idf weights: one tiny term-pruned read (wmetric df carries the
     # reference's +1 quirk; undo it for BM25 idf, as BM25Engine does)
     wm = (
@@ -282,24 +269,26 @@ def distributed_bm25_topk(
     )
     weights = {t: bm25_idf(n_docs, int(d) - 1) for t, d in zip(wm["term"], wm["df"])}
     if not weights:
-        return doc_key_to_cols(np.array([], dtype=np.int64), meta["doc_cols"]).assign(
-            score=pd.Series([], dtype="float64")
-        )
+        return None
 
     dl = read_table(spark, paths.doc_len)
     r = n_ranges or spark.sparkContext.defaultParallelism
     bounds = doc_range_bounds(dl, r)
     if not bounds:  # empty corpus: build writes meta but no doc rows
-        return doc_key_to_cols(np.array([], dtype=np.int64), meta["doc_cols"]).assign(
-            score=pd.Series([], dtype="float64")
-        )
+        return None
     # two independent range frames: reusing one lineage on both cogroup
     # sides trips Spark's ambiguous-self-join check
     rdf = spark.createDataFrame(bounds, "range_id int, lo long, hi long")
     rdf_dl = spark.createDataFrame(bounds, "range_id int, lo long, hi long")
 
+    # the block table is PARTITIONED by bucket: the driver-computed
+    # term->bucket set (pure-Python xxhash64, no job) makes the scan list
+    # only the query's bucket directories; the term IN-filter then pushes
+    # into those partitions' row groups
+    tb = sorted({term_bucket(t, meta["buckets"]) for t in weights})
     blocks = (
         read_table(spark, paths.blocks)
+        .where(F.col("bucket").isin(tb))
         .where(F.col("term").isin(list(weights)))
         .select("term", "block_no", "key_min", "key_max", "ub_bm25",
                 "doc_bytes", "tf_bytes")
@@ -342,11 +331,46 @@ def distributed_bm25_topk(
             {"doc_key": [d for d, _ in top], "score": [s for _, s in top]}
         ).astype({"doc_key": "int64", "score": "float64"})
 
-    local = (
+    return (
         blocks.groupBy("range_id")
         .cogroup(dl_r.groupBy("range_id"))
         .applyInPandas(kernel, schema="doc_key long, score double")
     )
+
+
+def distributed_bm25_topk(
+    spark: SparkSession,
+    paths: IndexPaths,
+    query: str,
+    k: int = 10,
+    n_ranges: int | None = None,
+) -> pd.DataFrame:
+    """Exact distributed BM25 top-k over the EXISTING term-bucketed block
+    index by partitioning the DOC-KEY SPACE at query time.
+
+    Each range task receives only the query terms' blocks overlapping its
+    key range (``key_min``/``key_max`` are plain columns, so the overlap
+    predicate prunes at the scan) plus its range's slice of the
+    doc-length table, runs the same :func:`~..query.bm25.block_sweep_topk`
+    bounded to the range, and emits a local top-k.  Every posting of a
+    doc shares its key, so a range sees each doc's full score or none of
+    it — the union of per-range top-ks contains the global top-k, and one
+    tiny driver-side merge finishes exactly (scores AND doc-asc
+    tie-breaks identical to ``BM25Engine.search``).
+
+    This is the 10^12-turn path: no executor ever holds more than its
+    range's blocks, the hot term's list splits across ranges, and adding
+    executors adds ranges.  Tested rank-identical to the single-node
+    engine in ``tests/test_distributed.py``; physical shape locked in
+    PLANS.md / ``tests/test_plans.py`` (bucket partition pruning, term
+    pushdown, broadcast range join, cogroup kernel).
+    """
+    local = distributed_bm25_local_topk(spark, paths, query, k, n_ranges)
+    meta = read_meta(paths)
+    if local is None:
+        return doc_key_to_cols(np.array([], dtype=np.int64), meta["doc_cols"]).assign(
+            score=pd.Series([], dtype="float64")
+        )
     rows = local.orderBy(F.col("score").desc(), "doc_key").limit(k).collect()
     out = doc_key_to_cols(
         np.array([r["doc_key"] for r in rows], dtype=np.int64), meta["doc_cols"]

@@ -143,3 +143,44 @@ def test_distributed_empty_corpus(spark, dictionary, tmp_path_factory):
     )
     got = distributed_bm25_topk(spark, paths, "alpha bravo", 10, n_ranges=4)
     assert len(got) == 0
+
+
+def test_xxhash64_matches_spark(spark):
+    """The pure-Python xxhash64 (used to compute term->bucket on the
+    driver without a Spark job — round-3 verdict item #3) must be
+    bit-identical to F.xxhash64 on UTF-8 strings: every tail length
+    0-40 (exercises the 32-byte loop, 8-byte, 4-byte and 1-byte tails),
+    unicode, and punctuation-heavy terms."""
+    from pyspark.sql import functions as F
+
+    from holi_search_engine_spark.functions.xxhash import term_bucket, xxhash64
+
+    cases = ["x" * n for n in range(41)]
+    cases += ["café", "日本語のテスト",
+              "tool_call", "a-b.c/d", "☃" * 13, "Hello, World!"]
+    sdf = spark.createDataFrame([(c,) for c in cases], "term string")
+    rows = sdf.select("term", F.xxhash64("term").alias("h"),
+                      F.pmod(F.xxhash64("term"), F.lit(8)).cast("int").alias("b")
+                      ).collect()
+    for r in rows:
+        assert xxhash64(r["term"].encode("utf-8")) == r["h"], repr(r["term"])
+        assert term_bucket(r["term"], 8) == r["b"], repr(r["term"])
+
+
+def test_term_buckets_no_spark_job(built_index, spark):
+    """_term_buckets must not submit a Spark job: it runs with a dead
+    SparkSession reference and finishes in well under a millisecond per
+    term (a job submission alone costs ~100 ms)."""
+    import time
+
+    from holi_search_engine_spark.query.distributed import DistributedRanker
+
+    dr = DistributedRanker(spark, built_index)
+    dr.spark = None  # any Spark usage would AttributeError
+    terms = [f"term{i}" for i in range(100)]
+    t0 = time.perf_counter()
+    out = dr._term_buckets(terms)
+    wall = time.perf_counter() - t0
+    assert len(out) == 100
+    assert all(0 <= b < dr.buckets for b in out.values())
+    assert wall < 0.05, f"term->bucket took {wall * 1e3:.1f} ms for 100 terms"
