@@ -260,6 +260,15 @@ class RankerEngine:
         pdf = self._keyed_rows(self.paths.doc_meta, keys, "title")
         return pdf.set_index("doc_key")["title"].reindex(keys).fillna("")
 
+    def _meta_for(self, keys: np.ndarray) -> pd.DataFrame:
+        """(title, snippet) per candidate key, preserving key order; rows
+        absent from doc_meta come back as NaN (serialized like Gson
+        serializes a null field: omitted)."""
+        if self._meta_pdf is not None:
+            return self._meta_pdf[["title", "snippet"]].reindex(keys)
+        pdf = self._keyed_rows(self.paths.doc_meta, keys, "title", "snippet")
+        return pdf.set_index("doc_key")[["title", "snippet"]].reindex(keys)
+
     # ---------------------------------------------------------- search
 
     def _candidates(self, lookup_terms: list[str]) -> pd.DataFrame:
@@ -404,3 +413,80 @@ class RankerEngine:
         full = self.search(query)
         start = (page - 1) * PAGE_SIZE
         return full.iloc[start : start + PAGE_SIZE].reset_index(drop=True)
+
+    # ------------------------------------------- serving envelope (step 11)
+
+    def paginate(self, results: pd.DataFrame, page: int = 1) -> dict | str:
+        """The reference's response envelope (``Ranker.java:256-279``):
+        ranked rows are chunked into pages of 10 numbered from 1, and the
+        requested page is wrapped as ``{"results": [{title, url,
+        page_head}...], "page": p, "totalPages": ceil(n/10)}``.
+
+        Page-count rounding follows the Java chunk loop exactly:
+        ``totalPages = ceil(n/10)`` (a 25-row result has 3 pages, the last
+        with 5 rows; an empty result has 0 pages).  A page outside
+        ``1..totalPages`` — including EVERY page of an empty result —
+        returns the empty string, not JSON (``paginatedURLs.get(page) ==
+        null → return ""``).  ``url`` carries the transcript doc identity
+        ``conv_id:turn_idx`` (SURVEY §2: doc ID replaces url); ``title``/
+        ``page_head`` are the 60/300-char doc_meta fields
+        (``CrawlProcess.java:49-56``).  Fields that are null are omitted,
+        as Gson omits null fields by default."""
+        n = len(results)
+        total_pages = (n + PAGE_SIZE - 1) // PAGE_SIZE
+        if page < 1 or page > total_pages:
+            return ""
+        chunk = results.iloc[(page - 1) * PAGE_SIZE : page * PAGE_SIZE]
+        keys = chunk["doc_key"].to_numpy(dtype=np.int64)
+        meta = self._meta_for(keys)
+        urls = chunk[self.doc_cols[0]].astype(str)
+        for c in self.doc_cols[1:]:
+            urls = urls + ":" + chunk[c].astype(str)
+        out = []
+        for url, title, snippet in zip(urls, meta["title"], meta["snippet"]):
+            row: dict = {}
+            # Gson field-declaration order: title, url, page_head
+            if isinstance(title, str):
+                row["title"] = title
+            row["url"] = url
+            if isinstance(snippet, str):
+                row["page_head"] = snippet
+            out.append(row)
+        return {"results": out, "page": page, "totalPages": total_pages}
+
+    def search_page_json(self, query: str, page: int = 1) -> str:
+        """GET /search?q=...&page=... response body: the paginated
+        envelope as the exact string Gson would emit, or ``""`` for an
+        out-of-range page (``Ranker.java:263-265``, ``README.md:43-53``)."""
+        env = self.paginate(self.search(query), page)
+        return env if isinstance(env, str) else gson_dumps(env)
+
+
+def gson_dumps(obj) -> str:
+    """``new Gson().toJson(obj)`` twin: compact separators, insertion
+    (field-declaration) order, UTF-8 passthrough for non-ASCII, and
+    Gson's default HTML-safe escaping of ``< > & = '`` as ``\\u003c``
+    etc. (gson JsonWriter.HTML_SAFE_REPLACEMENT_CHARS)."""
+    import json
+
+    s = json.dumps(obj, separators=(",", ":"), ensure_ascii=False)
+    out = []
+    in_str = False
+    esc = False
+    repl = {"<": "\\u003c", ">": "\\u003e", "&": "\\u0026",
+            "=": "\\u003d", "'": "\\u0027"}
+    for ch in s:
+        if in_str:
+            if esc:
+                esc = False
+            elif ch == "\\":
+                esc = True
+            elif ch == '"':
+                in_str = False
+            elif ch in repl:
+                out.append(repl[ch])
+                continue
+        elif ch == '"':
+            in_str = True
+        out.append(ch)
+    return "".join(out)

@@ -98,3 +98,97 @@ def test_auto_degraded_mode_identical(spark, built_index, engine, fixture_querie
             engine.search(q).reset_index(drop=True),
             obj=qid,
         )
+
+
+def test_envelope_shape_and_page_math(engine, oracle_index, fixture_queries):
+    """§2.4 step 11 (Ranker.java:256-279, README.md:43-53): the serving
+    envelope — 10/page chunks numbered from 1, totalPages = ceil(n/10),
+    result objects {title, url, page_head} against the pandas oracle's
+    ranked docs, "" for every out-of-range page."""
+    import json
+    import math
+
+    from holi_search_engine_spark.oracle import pandas_oracle as O
+
+    checked = 0
+    for qid, q in fixture_queries:
+        exp = O.search(oracle_index, q)
+        full = engine.search(q)
+        n = len(exp)
+        total = math.ceil(n / 10)
+        if n == 0:
+            assert engine.search_page_json(q, 1) == ""
+            continue
+        for page in (1, total):
+            env = engine.paginate(full, page)
+            assert env["page"] == page and env["totalPages"] == total, qid
+            want_len = 10 if page < total else n - 10 * (total - 1)
+            assert len(env["results"]) == want_len, qid
+            for r, cand in zip(env["results"], exp[(page - 1) * 10:]):
+                conv, turn = cand.doc
+                assert r["url"] == f"{conv}:{turn}", qid
+                assert set(r) <= {"title", "url", "page_head"}
+                assert len(r.get("title", "")) <= 60
+                assert len(r.get("page_head", "")) <= 300
+        # out-of-range pages return the empty string, not JSON
+        assert engine.paginate(full, 0) == ""
+        assert engine.paginate(full, total + 1) == ""
+        # the JSON body round-trips and keeps Gson field order
+        body = engine.search_page_json(q, 1)
+        assert body.startswith('{"results":')
+        parsed = json.loads(body)
+        assert parsed["totalPages"] == total
+        assert [r["url"] for r in parsed["results"]] == [
+            r["url"] for r in engine.paginate(full, 1)["results"]
+        ]
+        checked += 1
+        if checked >= 6:
+            break
+    assert checked >= 4
+
+
+def test_envelope_titles_match_doc_meta(engine, spark, built_index):
+    """title/page_head come verbatim from the doc_meta artifact (60/300
+    char truncations, CrawlProcess.java:49-56)."""
+    from pyspark.sql import functions as F
+
+    from holi_search_engine_spark.plans.compression import doc_key_expr
+    from holi_search_engine_spark.sources.catalog import read_table
+
+    full = engine.search("the data")
+    if not len(full):
+        full = engine.search("alpha")
+    env = engine.paginate(full, 1)
+    assert env != ""
+    keys = [int(k) for k in full["doc_key"].head(10)]
+    key = doc_key_expr(engine.doc_cols)
+    meta = {
+        r["doc_key"]: (r["title"], r["snippet"])
+        for r in read_table(spark, built_index.doc_meta)
+        .select(key.alias("doc_key"), "title", "snippet")
+        .where(F.col("doc_key").isin(keys))
+        .collect()
+    }
+    for r, k in zip(env["results"], keys):
+        title, snippet = meta[k]
+        assert r.get("title") == title
+        assert r.get("page_head") == snippet
+
+
+def test_gson_dumps_quirks():
+    """Gson twin: compact separators, declaration order, HTML-safe
+    escaping of < > & = ' inside strings (JsonWriter.HTML_SAFE), UTF-8
+    passthrough, null fields omitted upstream."""
+    import json
+
+    from holi_search_engine_spark.query.ranker import gson_dumps
+
+    env = {"results": [{"title": "a<b & c='x'", "url": "conv-1:2",
+                        "page_head": "s=t café"}], "page": 1, "totalPages": 1}
+    s = gson_dumps(env)
+    assert s == (
+        '{"results":[{"title":"a\\u003cb \\u0026 c\\u003d\\u0027x\\u0027",'
+        '"url":"conv-1:2","page_head":"s\\u003dt café"}],'
+        '"page":1,"totalPages":1}'
+    )
+    assert json.loads(s) == env  # escapes decode back to the same object
