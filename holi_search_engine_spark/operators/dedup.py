@@ -204,6 +204,7 @@ def lsh_params_for_threshold(threshold: float, n_hashes: int) -> tuple[int, int]
 
 _RESULT_CACHES: list[DataFrame] = []
 _RESULT_CACHE_KEEP = 4
+_RESULT_CACHES_LOCK = __import__("threading").Lock()
 
 
 def _finish(result: DataFrame, *cached: DataFrame) -> DataFrame:
@@ -212,16 +213,23 @@ def _finish(result: DataFrame, *cached: DataFrame) -> DataFrame:
     corpus-sized intermediates, so repeated dedup jobs in a long-lived
     session don't accumulate cached plans.  Result caches themselves are
     bounded: beyond the last ``_RESULT_CACHE_KEEP`` results the oldest is
-    unpersisted (still correct if a caller kept it — the lineage just
-    recomputes).  persist (not localCheckpoint) keeps the physical plan
+    unpersisted — a returned frame MAY therefore lazily recompute after
+    eviction (still correct; the lineage is intact).  The registry is
+    lock-guarded: concurrent dedup calls in one session would otherwise
+    race append/pop and could unpersist a result another thread just
+    returned.  persist (not localCheckpoint) keeps the physical plan
     inspectable — ``scripts/plan_audit.py`` asserts these plans' shapes."""
     out = result.persist()
     out.count()
     for df in cached:
         df.unpersist()
-    _RESULT_CACHES.append(out)
-    while len(_RESULT_CACHES) > _RESULT_CACHE_KEEP:
-        _RESULT_CACHES.pop(0).unpersist()
+    with _RESULT_CACHES_LOCK:
+        _RESULT_CACHES.append(out)
+        evict = []
+        while len(_RESULT_CACHES) > _RESULT_CACHE_KEEP:
+            evict.append(_RESULT_CACHES.pop(0))
+    for df in evict:
+        df.unpersist()
     return out
 
 

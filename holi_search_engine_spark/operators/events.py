@@ -36,14 +36,29 @@ STREAM_USER_CAP = 50
 STREAM_SHUFFLE_PARTITIONS = "8"
 
 
+#: Minimum free tmpfs bytes before the stream dirs will use it: the gate's
+#: seeded parquet + per-batch state-store commits stay well under this, so
+#: a host with a small/near-full /dev/shm falls back to the default tmp
+#: dir instead of ENOSPCing mid-drain with an opaque write error.
+_TMPFS_MIN_FREE = 256 << 20
+
+
 def _fast_tmpdir(prefix: str) -> str:
     """Temp dir for stream inbox/checkpoint/sink: tmpfs when available
-    (the sandbox's /tmp is a shared virtio disk with multi-second sync
-    stalls — BENCH/BASELINE.md; state-store commits amplify that)."""
+    AND comfortably free (the sandbox's /tmp is a shared virtio disk with
+    multi-second sync stalls — BENCH/BASELINE.md; state-store commits
+    amplify that)."""
     import os
     import tempfile
 
-    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    base = None
+    if os.path.isdir("/dev/shm"):
+        try:
+            st = os.statvfs("/dev/shm")
+            if st.f_bavail * st.f_frsize >= _TMPFS_MIN_FREE:
+                base = "/dev/shm"
+        except OSError:
+            pass
     return tempfile.mkdtemp(prefix=prefix, dir=base)
 
 

@@ -79,6 +79,14 @@ def pagerank(
         # frames max_iter times would cost ~10 no-op jobs)
         if delta is None or delta < convergence:  # PageRank.java:125-140
             break
+    # materialize the result OFF the cached inputs (localCheckpoint is
+    # eager and truncates lineage), then release them: callers like
+    # search_topk_prior invoke pagerank() repeatedly in long-lived
+    # sessions, and leaving corpus-sized frames pinned accumulates
+    # executor storage round after round
+    ranks = ranks.localCheckpoint()
+    edges.unpersist()
+    vertices.unpersist()
     return ranks
 
 

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import os
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..session import iceberg_available
@@ -101,7 +102,12 @@ def table_exists(spark: SparkSession, path: str) -> bool:
     try:
         spark.read.parquet(path)
         return True
-    except Exception:
+    except AnalysisException:
+        # the two absence shapes: PATH_NOT_FOUND and the empty-dir
+        # "unable to infer schema" — both mean "optional artifact not
+        # built".  Anything else (IO/permission errors) must PROPAGATE:
+        # swallowing it would silently zero the pagerank prior and serve
+        # differently-ranked results instead of failing loudly.
         return False
 
 
