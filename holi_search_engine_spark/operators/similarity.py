@@ -249,21 +249,46 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _assign_nearest(emb: DataFrame, cent: DataFrame) -> DataFrame:
-    """(vec_id, embedding, cid): each vector's nearest centroid — one
-    broadcast crossJoin (n·k rows, map-side) + per-vector argmin."""
-    from pyspark.sql import Window
+    """(vec_id, embedding, cid): each vector's nearest centroid, fully
+    MAP-SIDE: the k centroids collapse into one broadcast row (an array
+    of (cid, cvec) structs, cid-ascending) and a higher-order fold takes
+    the argmax of round(cosine, 6) with the smallest-cid tie-break.
 
-    assign = emb.crossJoin(F.broadcast(cent)).select(
-        "vec_id",
-        "embedding",
-        "cid",
-        F.round(_cosine(F.col("embedding"), F.col("cvec")), 6).alias("sim"),
+    The previous shape (crossJoin to n·k rows + a vec_id window) pushed
+    the n·k table through an exchange — ~40 GB at 1.3M vectors × 64
+    cells — for an argmin that needs no shuffle at all; this one moves
+    zero corpus rows.  Semantics are bit-identical to the window form
+    (same rounded cosine, ties → smallest cid; all-null sims — zero-norm
+    vectors — fall to cid 0, matching desc-nulls-last + cid-asc)."""
+    # cid normalized to long: callers hand int cids (k-means init) or
+    # long cids (hash-seed oracle path where cid aliases vec_id), and the
+    # fold's accumulator literal must match exactly
+    cents = cent.agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(F.col("cid").cast("long").alias("cid"), F.col("cvec"))
+            )
+        ).alias("cents")
     )
-    w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), "cid")
-    return (
-        assign.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "embedding", "cid")
+
+    def sim(c):
+        # null cosine (zero-norm vector) → -1.5: beats only the -2.0
+        # accumulator floor, so any real sim wins and an all-null row
+        # falls to the first (smallest) cid, as the window form did
+        return F.coalesce(
+            F.round(_cosine(F.col("embedding"), c["cvec"]), 6), F.lit(-1.5)
+        )
+
+    best = F.aggregate(
+        "cents",
+        F.struct(F.lit(-2.0).alias("sim"), F.lit(-1).cast("long").alias("cid")),
+        lambda acc, c: F.when(
+            sim(c) > acc["sim"],
+            F.struct(sim(c).alias("sim"), c["cid"].alias("cid")),
+        ).otherwise(acc),
+    )
+    return emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "embedding", best["cid"].alias("cid")
     )
 
 
@@ -321,10 +346,16 @@ def _kcenter_init(emb: DataFrame, k: int) -> DataFrame:
     unit = mat / norms[:, None]
     chosen = [0]  # smallest hash
     min_sim = unit @ unit[0]
+    min_sim[0] = np.inf  # mask chosen rows: with all-duplicate/colinear
+    # samples every remaining min_sim is 1.0 and argmin would re-pick an
+    # already-chosen index, silently emitting duplicate centroids
     for _ in range(1, min(k, len(mat))):
         nxt = int(np.argmin(min_sim))  # farthest by cosine; ties → first row
+        if min_sim[nxt] == np.inf:  # every sample row already chosen
+            break
         chosen.append(nxt)
         min_sim = np.maximum(min_sim, unit @ unit[nxt])
+        min_sim[np.asarray(chosen)] = np.inf
     spark = emb.sparkSession
     return spark.createDataFrame(
         [
@@ -347,9 +378,10 @@ def kmeans_centroids(
     (:func:`_kcenter_init` — the production-quality choice); ``"hash"``
     takes the k vectors with the smallest portable hash — weaker seeding,
     but exactly expressible in the DuckDB oracle (``ann_ivf_topk_kmeans``
-    pins it).  Each iteration is one broadcast-join assignment (map-side,
-    no shuffle of the corpus) plus one elementwise-mean update via
-    ``posexplode → groupBy(cid, pos)`` — n·dim rows through a
+    pins it).  Each iteration is one ZERO-SHUFFLE assignment (a
+    higher-order argmax fold over the broadcast centroid array —
+    :func:`_assign_nearest`) plus one elementwise-mean update via
+    ``posexplode → groupBy(cid, pos)`` — n·dim scalar rows through a
     map-side-combined aggregation, the textbook Spark k-means shape.
     Centroids are ``localCheckpoint``-ed per iteration to cut lineage
     growth.  Empty cells simply drop (k shrinks), which IVF tolerates.
