@@ -112,21 +112,18 @@ def test_wav_roundtrip():
 
 
 def test_decode_media_routes_real_codecs(spark, media):
-    """Image/audio rows of the synthetic media table now carry REAL
-    containers: fake=False must decode them (only video stays gated)."""
+    """Every row of the synthetic media table now carries a REAL
+    container — PNG images, WAV audio, MJPEG-AVI video — and fake=False
+    must decode all three (no gated fallback left in the table)."""
     pdf = media.toPandas()
     for _, row in pdf.iterrows():
         payload, mt = bytes(row["media"]), row["media_type"]
-        if mt == "video":
-            with pytest.raises(NotImplementedError):
-                decode_media(payload, mt, fake=False)
-        else:
-            sig = decode_media(payload, mt, fake=False)
-            assert len(sig) > 0
-            if mt == "image":
-                assert 0.0 <= sig.min() and sig.max() <= 1.0
-            else:
-                assert -1.0 <= sig.min() and sig.max() <= 1.0
+        sig = decode_media(payload, mt, fake=False)
+        assert len(sig) > 0
+        if mt in ("image", "video"):  # pixels normalized to [0, 1]
+            assert 0.0 <= sig.min() and sig.max() <= 1.0
+        else:  # PCM samples in [-1, 1]
+            assert -1.0 <= sig.min() and sig.max() <= 1.0
 
 
 def test_fake_mode_never_raises_on_corrupt_containers():
@@ -141,3 +138,121 @@ def test_fake_mode_never_raises_on_corrupt_containers():
     assert len(sig) == len(corrupt)
     with pytest.raises(Exception):
         decode_media(corrupt, "image", fake=False)
+
+
+def test_jpeg_roundtrip_gray_color_subsampled():
+    """Baseline JPEG encoder->decoder round trip (functions/mjpeg.py):
+    grayscale, RGB 4:4:4, and RGB 4:2:0 (exercises the generic
+    multi-sampling MCU path), at non-multiple-of-8 dimensions."""
+    from holi_search_engine_spark.functions.mjpeg import jpeg_decode, jpeg_encode
+
+    def psnr(a, b):
+        mse = np.mean((a.astype(float) - b.astype(float)) ** 2)
+        return 99.0 if mse == 0 else 10 * np.log10(255**2 / mse)
+
+    yy, xx = np.mgrid[0:50, 0:70]
+    gray = ((yy * 2 + xx * 3) % 256).astype(np.uint8)
+    out = jpeg_decode(jpeg_encode(gray, 90))
+    assert out.shape == gray.shape and psnr(gray, out) > 35
+    rgb = (
+        np.stack(
+            [
+                128 + 90 * np.sin(xx / 9.0),
+                128 + 90 * np.cos(yy / 7.0),
+                128 + 80 * np.sin((xx + yy) / 11.0),
+            ],
+            axis=-1,
+        )
+        .clip(0, 255)
+        .astype(np.uint8)
+    )
+    d444 = jpeg_decode(jpeg_encode(rgb, 90))
+    assert d444.shape == rgb.shape and psnr(rgb, d444) > 35
+    d420 = jpeg_decode(jpeg_encode(rgb, 90, subsample=True))
+    assert d420.shape == rgb.shape and psnr(rgb, d420) > 28
+    # high quality on a smooth image approaches lossless
+    smooth = (128 + 100 * np.sin(yy / 15.0) * np.cos(xx / 18.0)).astype(np.uint8)
+    assert psnr(smooth, jpeg_decode(jpeg_encode(smooth, 95))) > 45
+
+
+def test_jpeg_rejects_progressive():
+    from holi_search_engine_spark.functions.mjpeg import jpeg_decode, jpeg_encode
+
+    data = bytearray(jpeg_encode(np.zeros((8, 8), dtype=np.uint8)))
+    i = data.find(b"\xff\xc0")
+    data[i + 1] = 0xC2  # flip SOF0 -> SOF2 (progressive)
+    with pytest.raises(ValueError):
+        jpeg_decode(bytes(data))
+
+
+def test_avi_container_roundtrip_and_meta():
+    from holi_search_engine_spark.functions.mjpeg import (
+        avi_decode_frames,
+        avi_encode_frames,
+        avi_meta,
+        jpeg_encode,
+    )
+
+    yy, xx = np.mgrid[0:24, 0:32]
+    frames = [
+        jpeg_encode(((xx * 5 + yy * 9 + f * 31) % 256).astype(np.uint8), 90)
+        for f in range(5)
+    ]
+    avi = avi_encode_frames(frames, 32, 24, fps=12)
+    assert avi_decode_frames(avi) == frames  # byte-identical chunks
+    meta = avi_meta(avi)
+    assert meta["width"] == 32 and meta["height"] == 24
+    assert meta["total_frames"] == 5 and meta["us_per_frame"] == 83333
+    # odd-sized frame bodies must keep RIFF's even-byte chunk alignment
+    odd = [b"\x01\x02\x03", b"\x04\x05"]
+    assert avi_decode_frames(avi_encode_frames(odd, 2, 2)) == odd
+
+
+def test_decode_media_video_real_mjpeg():
+    """decode_media on an MJPEG-AVI payload returns the concatenated
+    decoded frame pixels in [0,1] — the former video stub is real
+    (strict mode, no fake fallback)."""
+    from holi_search_engine_spark.functions.mjpeg import (
+        avi_encode_frames,
+        jpeg_encode,
+    )
+
+    yy, xx = np.mgrid[0:16, 0:16]
+    frames = [
+        jpeg_encode(((xx + yy + f * 13) % 256).astype(np.uint8), 90)
+        for f in range(4)
+    ]
+    avi = avi_encode_frames(frames, 16, 16)
+    sig = decode_media(avi, "video", fake=False)
+    assert sig.shape == (4 * 16 * 16,)
+    assert sig.dtype == np.float32
+    assert 0.0 <= sig.min() and sig.max() <= 1.0
+
+
+def test_sample_frames_real_avi(spark):
+    """sample_frames on AVI payloads emits the container's REAL JPEG
+    frames (evenly strided), not byte slices."""
+    from holi_search_engine_spark.functions.mjpeg import (
+        avi_encode_frames,
+        jpeg_encode,
+    )
+    from holi_search_engine_spark.operators.multimodal import (
+        FRAME_COUNT,
+        MEDIA_SCHEMA,
+        sample_frames,
+    )
+
+    yy, xx = np.mgrid[0:8, 0:8]
+    frames = [
+        jpeg_encode(((xx * 3 + yy * 7 + f) % 256).astype(np.uint8), 90)
+        for f in range(7)
+    ]
+    avi = avi_encode_frames(frames, 8, 8)
+    df = spark.createDataFrame(
+        [(1, "video", bytearray(avi), 8, 8, 700)], MEDIA_SCHEMA
+    )
+    got = sample_frames(df).orderBy("frame_no").collect()
+    assert len(got) == FRAME_COUNT
+    sampled = [bytes(r["frame"]) for r in got]
+    assert all(f in frames for f in sampled)  # real container frames
+    assert sampled[0] == frames[0] and sampled[-1] == frames[-1]
