@@ -70,9 +70,76 @@ AUDIT: list[tuple[str, list[str], list[str]]] = [
     ("text_quality", ["ReadSchema: struct<doc_id:bigint,text:string>"], ["Exchange"]),
     # token stats: same — map-only over the two needed columns
     ("text_token_counts", ["ReadSchema: struct<doc_id:bigint,text:string>"], ["Exchange"]),
+    # end-to-end curation: ONE scan computes every signal and ONE
+    # hash-partitioned exchange (the fingerprint window) dedups — the
+    # COUNT_RULES row makes "one scan + one shuffle" a checked claim,
+    # not a docstring
+    ("corpus_curate_pipeline", ["hashpartitioning(fingerprint"], ["SinglePartition"]),
+    # distributed BM25: bucket partition pruning + term pushdown at the
+    # block scan, tiny range table broadcast (nested-loop — the overlap
+    # predicate is non-equi, and the broadcast side is r rows), per-range
+    # kernel via cogroup→applyInPandas.  Built on a real index artifact
+    # (SPECIAL_FRAMES), not an sf-dir registry entry.
+    (
+        "distributed_bm25_topk",
+        [
+            "FlatMapCoGroupsInPandas",
+            "PartitionFilters: [bucket#",
+            "In(term",
+            "BroadcastNestedLoopJoin",
+        ],
+        ["SortMergeJoin"],
+    ),
 ]
 
 GLOBAL_FORBIDDEN = ["CartesianProduct"]
+
+#: name → {substring: max occurrences in the formatted plan}.  explain
+#: ("formatted") prints each node once in the tree and once as a detail
+#: header, so ONE physical node ⇒ 2 occurrences of its name.
+COUNT_RULES: dict[str, dict[str, int]] = {
+    # one scan + one shuffle, as the curate docstring claims
+    "corpus_curate_pipeline": {"Scan parquet": 2, "Exchange": 2},
+}
+
+_SPECIAL_CACHE: dict[str, object] = {}
+
+
+def special_frames(spark) -> dict:
+    """Audited frames that need a built index artifact rather than an
+    sf-dir registry entry.  Built once per process over a tiny
+    deterministic corpus (plans are data-size independent)."""
+    if _SPECIAL_CACHE.get("spark") is spark:
+        return _SPECIAL_CACHE["frames"]
+    import tempfile
+
+    from holi_search_engine_spark.corpus import (
+        generate_transcripts_df,
+        make_vocabulary,
+    )
+    from holi_search_engine_spark.plans.index_build import build_index
+    from holi_search_engine_spark.query.distributed import (
+        distributed_bm25_local_topk,
+    )
+
+    d = tempfile.mkdtemp(prefix="plan_audit_idx_")
+    paths = build_index(
+        spark,
+        generate_transcripts_df(spark, 60),
+        f"{d}/idx",
+        frozenset(make_vocabulary()),
+        buckets=4,
+        build_blocks=True,
+        build_postings_table=False,
+    )
+    frames = {
+        "distributed_bm25_topk": distributed_bm25_local_topk(
+            spark, paths, "the data pipeline", 10, n_ranges=4
+        )
+    }
+    _SPECIAL_CACHE["spark"] = spark
+    _SPECIAL_CACHE["frames"] = frames
+    return frames
 
 
 def plan_of(df) -> str:
@@ -83,7 +150,10 @@ def plan_of(df) -> str:
 
 
 def audit_one(queries, spark, name: str, must: list[str], must_not: list[str]):
-    df = queries[name](spark, SF_DIR)
+    if name in queries:
+        df = queries[name](spark, SF_DIR)
+    else:
+        df = special_frames(spark)[name]
     plan = plan_of(df)
     problems = []
     for s in must:
@@ -92,6 +162,13 @@ def audit_one(queries, spark, name: str, must: list[str], must_not: list[str]):
     for s in must_not + GLOBAL_FORBIDDEN:
         if s in plan:
             problems.append(f"forbidden plan fragment present: {s!r}")
+    for s, cap in COUNT_RULES.get(name, {}).items():
+        n = plan.count(s)
+        if n > cap:
+            problems.append(
+                f"plan fragment {s!r} appears {n}x (max {cap}: one physical "
+                "node prints twice in formatted output)"
+            )
     return plan, problems
 
 
