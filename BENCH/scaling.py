@@ -24,6 +24,106 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+
+# ---------------------------------------------------------------------------
+# Host-health gate (round-3 verdict item #1).  The shared VM's memory bus
+# can collapse for hours (0.3 GB/s aggregate at 4 procs vs 15-60 GB/s
+# normal — BENCH/scaling_r3_1to4_degradedhost.json archives such a window
+# with its own calibrations).  A scaling pair run in such a window measures
+# the collapse, not the plan, so each pair is gated: probe the streaming
+# bandwidth at 1 and 4 procs and refuse to run the pair until the 4-proc
+# aggregate clears an absolute floor AND a minimum speedup over 1 proc.
+# ---------------------------------------------------------------------------
+
+def _stream_worker(secs: float) -> float:
+    import time as _t
+
+    import numpy as np
+
+    a = np.random.default_rng(1).integers(0, 255, 150_000_000, dtype=np.uint8)
+    b = np.empty_like(a)
+    np.copyto(b, a)  # fault pages before timing (see CHILD._stream)
+    t0 = _t.time()
+    n = 0
+    while _t.time() - t0 < secs:
+        np.copyto(b, a)
+        n += 1
+    return n * 0.3  # GB moved
+
+
+def _burn_worker(n: int) -> int:
+    x = 0
+    for i in range(n):
+        x += i * i
+    return x
+
+
+def probe_host(secs: float = 3.0) -> dict:
+    """One health reading: streaming bandwidth at 1 and 4 procs plus a
+    CPU-burn speedup at 4 procs, all in fresh worker processes."""
+    import multiprocessing
+    import time as _t
+
+    with multiprocessing.Pool(1) as p:
+        bw1 = sum(p.map(_stream_worker, [secs])) / secs
+    with multiprocessing.Pool(4) as p:
+        bw4 = sum(p.map(_stream_worker, [secs] * 4)) / secs
+    with multiprocessing.Pool(1) as p:
+        p.map(_burn_worker, [1_000_000])
+        t0 = _t.time()
+        p.map(_burn_worker, [15_000_000])
+        cpu1 = 15.0 / (_t.time() - t0)
+    with multiprocessing.Pool(4) as p:
+        p.map(_burn_worker, [1_000_000] * 4)
+        t0 = _t.time()
+        p.map(_burn_worker, [15_000_000] * 4)
+        cpu4 = 4 * 15.0 / (_t.time() - t0)
+    return {
+        "bw_1proc_gbs": round(bw1, 2),
+        "bw_4proc_gbs": round(bw4, 2),
+        "bw_speedup": round(bw4 / bw1, 2) if bw1 else None,
+        "cpu_speedup": round(cpu4 / cpu1, 2) if cpu1 else None,
+    }
+
+
+def health_gate(
+    min_bw_speedup: float = 2.5,
+    min_bw_abs: float = 10.0,
+    min_cpu_speedup: float = 3.5,
+    retries: int = 10,
+    wait_sec: float = 120.0,
+) -> dict:
+    # min_cpu_speedup 3.5: a 4-proc register-only burn on an idle 32-core
+    # box reads ~4.0x; a window where it reads 2.6x (observed r4 pair 1,
+    # which then measured 0.36 raw) is co-tenant CPU steal — running the
+    # 1->4 pair there measures the steal, not the plan.
+    """Block until the host passes the health thresholds (or retries run
+    out).  Returns the final probe with a ``healthy`` flag and the probe
+    history, which the caller embeds in the artifact so the JSON carries
+    its own host context."""
+    import time as _t
+
+    history = []
+    for attempt in range(retries + 1):
+        probe = probe_host()
+        probe["healthy"] = bool(
+            probe["bw_4proc_gbs"] >= min_bw_abs
+            and (probe["bw_speedup"] or 0) >= min_bw_speedup
+            and (probe["cpu_speedup"] or 0) >= min_cpu_speedup
+        )
+        history.append(probe)
+        if probe["healthy"]:
+            break
+        print(
+            f"health gate: UNHEALTHY (bw4={probe['bw_4proc_gbs']} GB/s, "
+            f"speedup={probe['bw_speedup']}x, cpu={probe['cpu_speedup']}x) "
+            f"— attempt {attempt + 1}/{retries + 1}, waiting {wait_sec:.0f}s",
+            file=sys.stderr,
+        )
+        if attempt < retries:
+            _t.sleep(wait_sec)
+    return {"probes": history, "healthy": history[-1]["healthy"]}
+
 CHILD = r"""
 import json, multiprocessing, os, shutil, sys, time
 sys.path.insert(0, {repo!r})
@@ -99,6 +199,12 @@ vocab = frozenset(make_vocabulary())
 # scans, and the bus is this host's binding resource (BENCH/membw.py).
 corpus_dir = "/dev/shm/holi_scaling_corpus_{cpus}"
 shutil.rmtree(corpus_dir, ignore_errors=True)
+# 16MB row groups: byte-range splits cannot cut INSIDE a parquet row
+# group, and the default 128MB row group makes each generated file one
+# indivisible task — stage A at 4 cores was 4 coarse ~85s tasks, so any
+# straggler added its full overrun to the wall.  Fine row groups give
+# ~20 balanced tasks at the same bytes.
+spark.conf.set("spark.hadoop.parquet.block.size", str(16 << 20))
 generate_transcripts_df(spark, {convs}).write.parquet(corpus_dir)
 # split the scan by bytes/(2*cores): the default 128MB packing would read
 # this table as ~3 splits, starving the tokenize stage of parallelism
@@ -154,12 +260,20 @@ def run_once(cpus: int, convs: int) -> dict:
     # process tree (JVM + pyspark workers + the calibration pool) to
     # exactly `cpus` host CPUs — without this a local[N] JVM quietly uses
     # extra host cores for GC/IO/codegen threads and the small leg cheats —
-    # and give the JVM memory proportional to cores (6g/core), since a
-    # cluster's total memory scales with executor count.  CPU sets are
-    # NESTED from the same end of the host range so both legs see
-    # equal-quality cores (this VM's logical CPUs are not uniform).
+    # and give the JVM memory proportional to cores (3g/core — the shape
+    # of a standard 4-core/12g executor), since a cluster's total memory
+    # scales with executor count.  The heap must stay RIGHT-SIZED, not
+    # merely proportional: at 6g/core the 4-core leg's 24g-Xmx JVM let
+    # its working set balloon and this host's memory subsystem punished
+    # it ~2.2x (measured r4: the identical full-size 4-core leg ran
+    # 4,412 t/s at 24g and 9,594 t/s at 12g, stage walls down across the
+    # board — an over-provisioned heap is a de-optimization here exactly
+    # as it is on real executors, where oversized heaps inflate GC pause
+    # and page-cache pressure).  CPU sets are NESTED from the same end of
+    # the host range so both legs see equal-quality cores (this VM's
+    # logical CPUs are not uniform).
     start = 32 - cpus
-    env = dict(os.environ, SPARK_DRIVER_MEM=f"{6 * cpus}g")
+    env = dict(os.environ, SPARK_DRIVER_MEM=f"{3 * cpus}g")
     proc = subprocess.run(
         ["taskset", "-c", f"{start}-{31}", sys.executable, "-c", code],
         capture_output=True,
@@ -182,15 +296,38 @@ def main() -> None:
     ap.add_argument("--convs", type=int, default=20000)
     ap.add_argument("--n", type=int, default=8, help="small parallelism N (big = 4N)")
     ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--gate-retries", type=int, default=10)
+    ap.add_argument("--gate-wait", type=float, default=120.0)
+    ap.add_argument("--no-gate", action="store_true")
     args = ap.parse_args()
 
     results: dict[int, list[dict]] = {args.n: [], 4 * args.n: []}
+    gates: list[dict] = []
+    skipped_pairs = 0
     for r in range(args.runs):
+        if not args.no_gate:
+            gate = health_gate(retries=args.gate_retries, wait_sec=args.gate_wait)
+            gates.append(gate)
+            if not gate["healthy"]:
+                print(f"run {r + 1}/{args.runs}: host still unhealthy after "
+                      f"{args.gate_retries} retries — SKIPPING this pair",
+                      file=sys.stderr)
+                skipped_pairs += 1
+                continue
+            p = gate["probes"][-1]
+            print(f"run {r + 1}/{args.runs}: gate PASS (bw4="
+                  f"{p['bw_4proc_gbs']} GB/s, bw speedup {p['bw_speedup']}x, "
+                  f"cpu speedup {p['cpu_speedup']}x)", file=sys.stderr)
         for cpus in (args.n, 4 * args.n):
             res = run_once(cpus, args.convs)
             results[cpus].append(res)
             print(f"run {r + 1}/{args.runs} cpus={cpus}: "
                   f"{res['tps']:.0f} turns/s ({res['wall']:.1f}s)", file=sys.stderr)
+    if not results[args.n]:
+        print(json.dumps({"metric": "scaling_efficiency", "error":
+                          "all pairs skipped: host unhealthy for the whole window",
+                          "health_gates": gates}))
+        return
 
     med = {c: statistics.median(x["tps"] for x in rs) for c, rs in results.items()}
     med_calib = {c: statistics.median(x["calib"] for x in rs) for c, rs in results.items()}
@@ -281,6 +418,8 @@ def main() -> None:
         "all_bw": {str(c): [round(x.get("bw", 0.0), 1) for x in rs] for c, rs in results.items()},
         "all_tok": {str(c): [round(x.get("tok", 0.0), 1) for x in rs] for c, rs in results.items()},
         "stages": stage_rows,
+        "health_gates": gates,
+        "skipped_pairs": skipped_pairs,
     }
     print(json.dumps(summary))
 

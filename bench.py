@@ -33,8 +33,76 @@ QUERY_PASSES = 3
 # more than the engine; min-of-2 is the standard noise-robust statistic
 REPEATS = max(1, int(os.environ.get("BENCH_REPEATS", "2")))
 # the build is the north metric AND the stage most exposed to host drift
-# (multi-minute, bandwidth-bound): give it one extra sample
-BUILD_REPEATS = max(REPEATS, int(os.environ.get("BENCH_BUILD_REPEATS", "3")))
+# (multi-minute, bandwidth-bound): min-of-5 — BENCH_r02/r03 both recorded
+# drifted windows (5,058 t/s in a window where the same binary measured
+# 11,600 t/s minutes later), so the official artifact takes more samples
+BUILD_REPEATS = max(REPEATS, int(os.environ.get("BENCH_BUILD_REPEATS", "5")))
+# sf1.0-scale dedup/ANN evidence (verdict r3 item #6): row count for the
+# synthesized corpora; 0 disables the section
+SCALE_DOCS = int(os.environ.get("BENCH_SCALE_DOCS", "1300000"))
+
+
+def _burn(n: int) -> int:
+    x = 0
+    for i in range(n):
+        x += i * i
+    return x
+
+
+def _stream(secs: float) -> float:
+    import numpy as np
+
+    a = np.random.default_rng(1).integers(0, 255, 150_000_000, dtype=np.uint8)
+    b = np.empty_like(a)
+    np.copyto(b, a)  # fault pages before timing
+    t0 = time.time()
+    n = 0
+    while time.time() - t0 < secs:
+        np.copyto(b, a)
+        n += 1
+    return n * 0.3
+
+
+def host_calibration() -> dict:
+    """Same-window host context embedded in the artifact: single-proc CPU
+    burn (Miter/s) and 4-proc aggregate streaming bandwidth (GB/s).  The
+    shared VM drifts >2x between identical runs (BENCH/BASELINE.md), and
+    two rounds running the official bench window under-recorded the
+    engine — with the calibration inline, a degraded window is visible in
+    the JSON itself instead of needing a forensic re-run."""
+    import multiprocessing
+
+    t0 = time.time()
+    _burn(15_000_000)
+    cpu = 15.0 / (time.time() - t0)
+    with multiprocessing.Pool(4) as p:
+        bw = sum(p.map(_stream, [3.0] * 4)) / 3.0
+    return {"host_cpu_miters": round(cpu, 2), "host_bw_4proc_gbs": round(bw, 2)}
+
+
+def _stages(spark) -> list[dict]:
+    try:
+        import urllib.request
+
+        base = spark.sparkContext.uiWebUrl
+        app = spark.sparkContext.applicationId
+        with urllib.request.urlopen(
+            f"{base}/api/v1/applications/{app}/stages?status=complete", timeout=10
+        ) as r:
+            return json.load(r)
+    except Exception:
+        return []
+
+
+def shuffle_delta(spark, before: list[dict]) -> dict:
+    """Total + peak-single-stage shuffle write since ``before`` (REST)."""
+    seen = {s["stageId"] for s in before}
+    new = [s for s in _stages(spark) if s["stageId"] not in seen]
+    writes = [s.get("shuffleWriteBytes", 0) for s in new]
+    return {
+        "shuffle_write_mb": round(sum(writes) / 1e6, 1),
+        "peak_stage_shuffle_mb": round(max(writes, default=0) / 1e6, 1),
+    }
 
 
 def main() -> None:
@@ -49,11 +117,14 @@ def main() -> None:
     from holi_search_engine_spark.query.ranker import RankerEngine
     from holi_search_engine_spark.session import get_spark
 
-    spark = get_spark("holi-bench")
+    # UI on: the REST status API is how the scale entries record shuffle
+    # volume (the engine-side metric the 100 TB extrapolation rides on)
+    spark = get_spark("holi-bench", extra_conf={"spark.ui.enabled": "true"})
     vocab = make_vocabulary()
     dictionary = frozenset(vocab)
     timings: dict[str, float] = {}
     extra: dict[str, float] = {}
+    extra.update(host_calibration())
 
     # ---- index build over the transcripts corpus (the north metric).
     # Input is a parquet table (the production shape per the input
@@ -154,7 +225,68 @@ def main() -> None:
     run("dedup_embedding_pairs", dedup.QUERIES["dedup_embedding_pairs"])
     run("events_sessionize", events.QUERIES["events_sessionize"])
 
-    total = sum(timings.values())
+    # ---- sf1.0-scale evidence (verdict r3 #6): the dedup/ANN scale
+    # claims carried by plan shape alone get one order-of-magnitude data
+    # point — production-parameter LSH near-dup and k-means IVF ANN at
+    # ~1.3M rows (260x the sf0.1 documents table), with wall + shuffle
+    # volume recorded.  Inputs are synthesized deterministically in-Spark
+    # (no external data); excluded from `value` (different scale tier).
+    scale_timings: dict[str, float] = {}
+    if SCALE_DOCS > 0:
+        from pyspark.sql import functions as F
+
+        from holi_search_engine_spark.operators.dedup import lsh_near_dup_pairs
+        from holi_search_engine_spark.operators.similarity import (
+            ann_ivf_topk_kmeans,
+        )
+
+        sc_dir = os.environ.get("BENCH_SCALE_DIR", "/dev/shm/holi_bench_scale")
+        shutil.rmtree(sc_dir, ignore_errors=True)
+        convs = max(1, SCALE_DOCS * 20000 // 129984)  # ~6.5 turns/conv
+        docs_src = generate_transcripts_df(spark, convs).select(
+            F.xxhash64(F.concat_ws(":", "conv_id", "turn_idx")).alias("doc_id"),
+            "text",
+        )
+        docs_src.write.parquet(f"{sc_dir}/docs")  # generation excluded
+        docs = spark.read.parquet(f"{sc_dir}/docs")
+        n_docs = docs.count()
+        extra["scale_docs_n"] = float(n_docs)
+        before = _stages(spark)
+        t0 = time.time()
+        pairs = lsh_near_dup_pairs(docs, n_hashes=128, threshold=0.5)
+        n_pairs = pairs.count()
+        scale_timings["scale_lsh_near_dup_k128"] = time.time() - t0
+        pairs.unpersist()
+        extra["scale_lsh_pairs_found"] = float(n_pairs)
+        for k, v in shuffle_delta(spark, before).items():
+            extra[f"scale_lsh_{k}"] = v
+
+        dim = 64
+        emb = spark.range(n_docs).select(
+            F.col("id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(1), F.lit(dim)),
+                lambda i: (
+                    (F.pmod(F.xxhash64(F.col("id") * dim + i), F.lit(2001)) - 1000)
+                    / 1000.0
+                ).cast("float"),
+            ).alias("embedding"),
+        )
+        emb.write.parquet(f"{sc_dir}/emb")
+        emb = spark.read.parquet(f"{sc_dir}/emb")
+        before = _stages(spark)
+        t0 = time.time()
+        top = ann_ivf_topk_kmeans(
+            emb, query_vec_id=0, k_cells=64, nprobe=8, top_k=10, iters=3
+        ).collect()
+        scale_timings["scale_ann_ivf_kmeans"] = time.time() - t0
+        assert len(top) == 10
+        for k, v in shuffle_delta(spark, before).items():
+            extra[f"scale_ann_{k}"] = v
+        shutil.rmtree(sc_dir, ignore_errors=True)
+        timings.update({k: round(v, 3) for k, v in scale_timings.items()})
+
+    total = sum(v for k, v in timings.items() if not k.startswith("scale_"))
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -176,7 +308,15 @@ def main() -> None:
                     "warm); query/bm25 latencies are one 3-pass run with "
                     "warm-pass p95 reported separately. The shared host "
                     "drifts >2x between identical runs, see "
-                    "BENCH/BASELINE.md",
+                    "BENCH/BASELINE.md; extra.host_cpu_miters/"
+                    "host_bw_4proc_gbs carry this window's own "
+                    "calibration (healthy ~4-6 Miter/s, ~30-60 GB/s)",
+                    "scale": "scale_* entries run at ~1.3M synthesized "
+                    "rows (260x the sf0.1 documents table) with "
+                    "production parameters (LSH k=128 threshold-tuned "
+                    "banding; k-means IVF 64 cells nprobe=8); excluded "
+                    "from `value` (different scale tier), shuffle volume "
+                    "in extra.scale_*",
                 },
             }
         )
