@@ -58,26 +58,57 @@ def _burn_worker(n: int) -> int:
     return x
 
 
-def probe_host(secs: float = 3.0) -> dict:
-    """One health reading: streaming bandwidth at 1 and 4 procs plus a
-    CPU-burn speedup at 4 procs, all in fresh worker processes."""
-    import multiprocessing
+def _pinned_burn(cpus: list[int], n: int) -> float:
+    """Aggregate Miter/s of one burn per listed core, each taskset-pinned
+    (the probes must measure the EXACT cores the legs will run on — an
+    unpinned pool lands on scheduler-chosen cores and misreads windows
+    where the pinned set is healthy but other cores are contended)."""
     import time as _t
 
-    with multiprocessing.Pool(1) as p:
-        bw1 = sum(p.map(_stream_worker, [secs])) / secs
-    with multiprocessing.Pool(4) as p:
-        bw4 = sum(p.map(_stream_worker, [secs] * 4)) / secs
-    with multiprocessing.Pool(1) as p:
-        p.map(_burn_worker, [1_000_000])
-        t0 = _t.time()
-        p.map(_burn_worker, [15_000_000])
-        cpu1 = 15.0 / (_t.time() - t0)
-    with multiprocessing.Pool(4) as p:
-        p.map(_burn_worker, [1_000_000] * 4)
-        t0 = _t.time()
-        p.map(_burn_worker, [15_000_000] * 4)
-        cpu4 = 4 * 15.0 / (_t.time() - t0)
+    code = (
+        "x=0\n"
+        f"for i in range({n}): x+=i*i\n"
+    )
+    t0 = _t.time()
+    procs = [
+        subprocess.Popen(["taskset", "-c", str(c), sys.executable, "-c", code])
+        for c in cpus
+    ]
+    for p in procs:
+        p.wait()
+    return len(cpus) * (n / 1e6) / (_t.time() - t0)
+
+
+def _pinned_stream(cpus: list[int], secs: float) -> float:
+    code = (
+        "import time\nimport numpy as np\n"
+        "a=np.random.default_rng(1).integers(0,255,150_000_000,dtype=np.uint8)\n"
+        "b=np.empty_like(a)\nnp.copyto(b,a)\n"
+        "t0=time.time(); n=0\n"
+        f"while time.time()-t0 < {secs}: np.copyto(b,a); n+=1\n"
+        "print(n*0.3)"
+    )
+    procs = [
+        subprocess.Popen(
+            ["taskset", "-c", str(c), sys.executable, "-c", code],
+            stdout=subprocess.PIPE, text=True,
+        )
+        for c in cpus
+    ]
+    return sum(float(p.communicate()[0]) for p in procs) / secs
+
+
+def probe_host(secs: float = 3.0, top: int = 32) -> dict:
+    """One health reading on the LEG CPUSETS: streaming bandwidth and
+    CPU-burn speedup at 1 vs 4 pinned procs, on the same nested
+    top-of-range cores run_once pins the legs to."""
+    four = list(range(top - 4, top))
+    one = [top - 1]
+    bw1 = _pinned_stream(one, secs)
+    bw4 = _pinned_stream(four, secs)
+    _pinned_burn(one, 1_000_000)  # warmup (interpreter startup paid here)
+    cpu1 = _pinned_burn(one, 15_000_000)
+    cpu4 = _pinned_burn(four, 15_000_000)
     return {
         "bw_1proc_gbs": round(bw1, 2),
         "bw_4proc_gbs": round(bw4, 2),
