@@ -466,7 +466,9 @@ per run, interleaved N/4N legs, median of {args.runs} runs.  Each leg
 models a cluster of identically-shaped executors: pinned via ``taskset``
 to exactly its N host CPUs (nested sets from the same end of the host
 range, since this VM's logical CPUs are not uniform) with JVM memory
-proportional to cores (6g/core):
+proportional to cores (3g/core — the shape of a standard 4-core/12g
+executor; see §"Round-4 scaling investigation" for why right-sizing,
+not just proportionality, matters on this host):
 
 | parallelism | median throughput (turns/s) | per-run |
 |---|---|---|
