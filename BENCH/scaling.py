@@ -35,29 +35,6 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # aggregate clears an absolute floor AND a minimum speedup over 1 proc.
 # ---------------------------------------------------------------------------
 
-def _stream_worker(secs: float) -> float:
-    import time as _t
-
-    import numpy as np
-
-    a = np.random.default_rng(1).integers(0, 255, 150_000_000, dtype=np.uint8)
-    b = np.empty_like(a)
-    np.copyto(b, a)  # fault pages before timing (see CHILD._stream)
-    t0 = _t.time()
-    n = 0
-    while _t.time() - t0 < secs:
-        np.copyto(b, a)
-        n += 1
-    return n * 0.3  # GB moved
-
-
-def _burn_worker(n: int) -> int:
-    x = 0
-    for i in range(n):
-        x += i * i
-    return x
-
-
 def _pinned_burn(cpus: list[int], n: int) -> float:
     """Aggregate Miter/s of one burn per listed core, each taskset-pinned
     (the probes must measure the EXACT cores the legs will run on — an
@@ -234,9 +211,12 @@ shutil.rmtree(corpus_dir, ignore_errors=True)
 # group, and the default 128MB row group makes each generated file one
 # indivisible task — stage A at 4 cores was 4 coarse ~85s tasks, so any
 # straggler added its full overrun to the wall.  Fine row groups give
-# ~20 balanced tasks at the same bytes.
-spark.conf.set("spark.hadoop.parquet.block.size", str(16 << 20))
-generate_transcripts_df(spark, {convs}).write.parquet(corpus_dir)
+# ~20 balanced tasks at the same bytes.  (Writer option, NOT
+# spark.conf.set("spark.hadoop.*", ...): that prefix is only read at
+# SparkContext creation, so a runtime set is a silent no-op.)
+generate_transcripts_df(spark, {convs}).write.option(
+    "parquet.block.size", str(16 << 20)
+).parquet(corpus_dir)
 # split the scan by bytes/(2*cores): the default 128MB packing would read
 # this table as ~3 splits, starving the tokenize stage of parallelism
 corpus_bytes = sum(

@@ -83,7 +83,10 @@ spark.stop()
 def run_once(cpus: int, convs: int) -> dict:
     code = CHILD.format(repo=REPO, cpus=cpus, convs=convs)
     start = 32 - cpus
-    env = dict(os.environ, SPARK_DRIVER_MEM=f"{6 * cpus}g")
+    # 3g/core, matching scaling.py's legs: at 6g/core the 4-core leg's
+    # 24g-Xmx JVM measurably de-optimized (~2.2x), and the probe must run
+    # the exact JVM shape whose stage-A scaling it is meant to explain
+    env = dict(os.environ, SPARK_DRIVER_MEM=f"{3 * cpus}g")
     proc = subprocess.run(
         ["taskset", "-c", f"{start}-{31}", sys.executable, "-c", code],
         capture_output=True, text=True, cwd=REPO, env=env, timeout=3600,

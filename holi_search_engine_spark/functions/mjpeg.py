@@ -236,6 +236,9 @@ def jpeg_decode(data: bytes) -> np.ndarray:
             pos += 1
             continue
         marker = data[pos + 1]
+        if marker == 0xFF:  # T.81 B.1.1.2: optional fill bytes before a marker
+            pos += 1
+            continue
         pos += 2
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             continue
@@ -282,8 +285,18 @@ def jpeg_decode(data: bytes) -> np.ndarray:
             for i in range(ns):
                 cid, tabs = seg[1 + 2 * i:3 + 2 * i]
                 c = next(c for c in comps if c["id"] == cid)
+                # MJPEG-in-AVI (OpenDML) allows abbreviated frames that
+                # omit DHT and imply the Annex K tables: id 0 = luminance,
+                # anything else = chrominance.
+                td, ta = tabs >> 4, tabs & 0xF
+                if td not in huff_dc:
+                    huff_dc[td] = _huff_lookup(*(DC_LUM if td == 0 else DC_CHROM))
+                if ta not in huff_ac:
+                    huff_ac[ta] = _huff_lookup(*(AC_LUM if ta == 0 else AC_CHROM))
+                if c["tq"] not in quant:
+                    raise ValueError(f"missing quantization table {c['tq']}")
                 scan_comps.append(
-                    {**c, "dc": huff_dc[tabs >> 4], "ac": huff_ac[tabs & 0xF]}
+                    {**c, "dc": huff_dc[td], "ac": huff_ac[ta]}
                 )
             # entropy-coded data runs from here to the next non-RST marker
             o = pos + seglen

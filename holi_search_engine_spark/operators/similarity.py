@@ -279,16 +279,25 @@ def _assign_nearest(emb: DataFrame, cent: DataFrame) -> DataFrame:
             F.round(_cosine(F.col("embedding"), c["cvec"]), 6), F.lit(-1.5)
         )
 
+    # sim(c) is evaluated in a transform() FIRST so each centroid's
+    # O(dim) cosine fold runs once — Catalyst does not CSE inside
+    # higher-order-function lambdas, so a when(sim>..., struct(sim,...))
+    # fold would compute every cosine twice
     best = F.aggregate(
-        "cents",
+        F.transform(
+            "cents",
+            lambda c: F.struct(sim(c).alias("sim"), c["cid"].alias("cid")),
+        ),
         F.struct(F.lit(-2.0).alias("sim"), F.lit(-1).cast("long").alias("cid")),
-        lambda acc, c: F.when(
-            sim(c) > acc["sim"],
-            F.struct(sim(c).alias("sim"), c["cid"].alias("cid")),
-        ).otherwise(acc),
+        lambda acc, s: F.when(s["sim"] > acc["sim"], s).otherwise(acc),
     )
-    return emb.crossJoin(F.broadcast(cents)).select(
-        "vec_id", "embedding", best["cid"].alias("cid")
+    return (
+        emb.crossJoin(F.broadcast(cents))
+        .select("vec_id", "embedding", best["cid"].alias("cid"))
+        # empty centroid frame → the accumulator's sentinel survives;
+        # return the empty assignment (the crossJoin form's behavior)
+        # rather than phantom cid=-1 rows
+        .where(F.col("cid") >= 0)
     )
 
 

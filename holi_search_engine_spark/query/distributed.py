@@ -238,6 +238,7 @@ def distributed_bm25_local_topk(
     query: str,
     k: int = 10,
     n_ranges: int | None = None,
+    meta: dict | None = None,
 ) -> DataFrame | None:
     """The Spark side of :func:`distributed_bm25_topk`: per-range local
     top-k rows (doc_key, score), BEFORE the driver merge.  Exposed
@@ -245,7 +246,7 @@ def distributed_bm25_local_topk(
     (bucket partition pruning + term pushdown at the block scan, broadcast
     range join, cogroup→applyInPandas kernel).  Returns None when the
     query can produce no rows (no terms / no matching terms / empty
-    corpus)."""
+    corpus).  ``meta`` lets the wrapper share its one artifact read."""
     from .bm25 import (
         BM25_B,
         _NormLookup,
@@ -254,7 +255,8 @@ def distributed_bm25_local_topk(
         block_sweep_topk,
     )
 
-    meta = read_meta(paths)
+    if meta is None:
+        meta = read_meta(paths)
     n_docs, avgdl = meta["n_docs"], meta.get("avgdl") or 1.0
     terms = list(dict.fromkeys(_RE_PUNCT.sub(" ", query).strip().lower().split()))
     if not terms:
@@ -365,8 +367,8 @@ def distributed_bm25_topk(
     PLANS.md / ``tests/test_plans.py`` (bucket partition pruning, term
     pushdown, broadcast range join, cogroup kernel).
     """
-    local = distributed_bm25_local_topk(spark, paths, query, k, n_ranges)
-    meta = read_meta(paths)
+    meta = read_meta(paths)  # one read, shared with the local-topk plan
+    local = distributed_bm25_local_topk(spark, paths, query, k, n_ranges, meta=meta)
     if local is None:
         return doc_key_to_cols(np.array([], dtype=np.int64), meta["doc_cols"]).assign(
             score=pd.Series([], dtype="float64")

@@ -466,7 +466,8 @@ def gson_dumps(obj) -> str:
     """``new Gson().toJson(obj)`` twin: compact separators, insertion
     (field-declaration) order, UTF-8 passthrough for non-ASCII, and
     Gson's default HTML-safe escaping of ``< > & = '`` as ``\\u003c``
-    etc. (gson JsonWriter.HTML_SAFE_REPLACEMENT_CHARS)."""
+    etc. (gson JsonWriter.HTML_SAFE_REPLACEMENT_CHARS), plus the
+    JS-line-separator escapes U+2028/U+2029 JsonWriter always emits."""
     import json
 
     s = json.dumps(obj, separators=(",", ":"), ensure_ascii=False)
@@ -474,7 +475,8 @@ def gson_dumps(obj) -> str:
     in_str = False
     esc = False
     repl = {"<": "\\u003c", ">": "\\u003e", "&": "\\u0026",
-            "=": "\\u003d", "'": "\\u0027"}
+            "=": "\\u003d", "'": "\\u0027",
+            " ": "\\u2028", " ": "\\u2029"}
     for ch in s:
         if in_str:
             if esc:

@@ -175,6 +175,46 @@ def test_jpeg_roundtrip_gray_color_subsampled():
     assert psnr(smooth, jpeg_decode(jpeg_encode(smooth, 95))) > 45
 
 
+def test_jpeg_fill_bytes_and_abbreviated_frames():
+    """Two stream shapes real MJPEG cameras emit (T.81 B.1.1.2 fill bytes;
+    OpenDML abbreviated frames with no DHT, implying the Annex K tables):
+    both must decode to exactly the bytes the full-table stream decodes to."""
+    import struct
+
+    from holi_search_engine_spark.functions.mjpeg import jpeg_decode, jpeg_encode
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 255, (40, 56, 3), dtype=np.uint8)
+    enc = jpeg_encode(img, quality=90)
+    base = jpeg_decode(enc)
+
+    # 0xFF fill bytes padded before a marker
+    i = enc.index(b"\xff\xdb")
+    assert np.array_equal(jpeg_decode(enc[:i] + b"\xff\xff\xff" + enc[i:]), base)
+
+    # strip every segment of a marker kind from the header
+    def strip(d, kind):
+        out = bytearray(d[:2])
+        pos = 2
+        while pos < len(d):
+            m = d[pos + 1]
+            if m == 0xDA:
+                out += d[pos:]
+                break
+            (ln,) = struct.unpack(">H", d[pos + 2:pos + 4])
+            if m != kind:
+                out += d[pos:pos + 2 + ln]
+            pos += 2 + ln
+        return bytes(out)
+
+    no_dht = strip(enc, 0xC4)
+    assert b"\xff\xc4" not in no_dht[:no_dht.index(b"\xff\xda")]
+    assert np.array_equal(jpeg_decode(no_dht), base)
+
+    with pytest.raises(ValueError, match="quantization"):
+        jpeg_decode(strip(enc, 0xDB))
+
+
 def test_jpeg_rejects_progressive():
     from holi_search_engine_spark.functions.mjpeg import jpeg_decode, jpeg_encode
 

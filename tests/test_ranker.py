@@ -192,3 +192,8 @@ def test_gson_dumps_quirks():
         '"page":1,"totalPages":1}'
     )
     assert json.loads(s) == env  # escapes decode back to the same object
+    # JsonWriter always escapes the JS line separators U+2028/U+2029
+    # (invalid in embedded JavaScript even though legal JSON)
+    s2 = gson_dumps({"t": "a b c"})
+    assert s2 == '{"t":"a\\u2028b\\u2029c"}'
+    assert json.loads(s2) == {"t": "a b c"}
