@@ -749,7 +749,10 @@ def embedding_near_dup_pairs(
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    cosine = F.round(dot / (F.col("a.nrm") * F.col("b.nrm")), 6)
+    # try_divide: under Spark 4's default ANSI mode a plain division
+    # THROWS when both docs are zero-token (nrm 0), before the _nn > 0
+    # filter below ever sees the row; try_divide yields null instead
+    cosine = F.round(F.try_divide(dot, F.col("a.nrm") * F.col("b.nrm")), 6)
     out = (
         bucketed.alias("a")
         .join(
@@ -763,9 +766,9 @@ def embedding_near_dup_pairs(
             cosine.alias("cosine"),
             (F.col("a.nrm") * F.col("b.nrm")).alias("_nn"),
         )
-        # _nn > 0 excludes zero-token docs explicitly: their cosine is
-        # 0/0 = NaN, and Spark orders NaN ABOVE every double, so a bare
-        # `cosine >= cos_min` would emit empty-doc pairs
+        # _nn > 0 excludes zero-token docs explicitly: their try_divide
+        # cosine is null, and the belt-and-braces guard keeps the intent
+        # visible even if the null comparison semantics ever change
         .where((F.col("_nn") > 0) & (F.col("cosine") >= cos_min))
         .drop("_nn")
     )
