@@ -310,7 +310,9 @@ def main() -> None:
                     "drifts >2x between identical runs, see "
                     "BENCH/BASELINE.md; extra.host_cpu_miters/"
                     "host_bw_4proc_gbs carry this window's own "
-                    "calibration (healthy ~4-6 Miter/s, ~30-60 GB/s)",
+                    "calibration (healthy windows observed 4-16 Miter/s "
+                    "and 30-62 GB/s; degraded windows read far below — "
+                    "e.g. 0.3 GB/s during the archived r3 bus collapse)",
                     "scale": "scale_* entries run at ~1.3M synthesized "
                     "rows (260x the sf0.1 documents table) with "
                     "production parameters (LSH k=128 threshold-tuned "

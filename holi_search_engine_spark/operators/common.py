@@ -32,6 +32,19 @@ def portable_hash32_sql(expr: str) -> str:
     return f"cast(('0x' || substr(md5({expr}), 1, 8)) as bigint)"
 
 
+def portable_hash60(col):
+    """60-bit variant of :func:`portable_hash32` (15 hex chars — the most
+    md5 bits that fit a signed 64-bit int without overflow in either
+    engine).  Use where the keyed population is large enough that 32-bit
+    birthday collisions have real cost: at 10⁹ keys, 32 bits expect
+    ~10⁸ colliding pairs per bucket space, 60 bits expect ~0.4."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def portable_hash60_sql(expr: str) -> str:
+    return f"cast(('0x' || substr(md5({expr}), 1, 15)) as bigint)"
+
+
 # The reference tokenizer chain (Indexer.java:55-72) as Spark expressions
 # (Spark regexp_replace is Java regex, i.e. byte-identical to the reference)
 # and as DuckDB RE2 equivalents.  Stages 3/5 are subsumed by stage 4.

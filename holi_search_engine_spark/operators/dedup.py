@@ -2,19 +2,26 @@
 exact (hash-groupBy), MinHash+LSH banding, n-gram Jaccard verification of
 candidates, and SimHash fingerprints.
 
-All hashes are the portable md5-derived 32-bit hash (``common.py``) so the
+All hashes are portable md5-derived hashes (``common.py``) so the
 Spark plans and the DuckDB oracle SQL agree bit-for-bit.  At 100 TB the
 same plans hold: shingling/explode is a map-only stage, the MinHash
-signature is one groupBy(doc), band bucketing is one groupBy(band, sig),
-and only docs sharing a bucket are pair-joined — the quadratic step never
-touches the full corpus.
+signature is one groupBy(doc), band signatures derive map-side from that
+same aggregated row (no second shuffle), and only docs sharing a
+(band, sig) bucket are pair-joined — the quadratic step never touches
+the full corpus.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from .common import load, portable_hash32, portable_hash32_sql
+from .common import (
+    load,
+    portable_hash32,
+    portable_hash32_sql,
+    portable_hash60,
+    portable_hash60_sql,
+)
 
 QUERIES: dict = {}
 ORACLE: dict[str, str] = {}
@@ -141,16 +148,11 @@ def _minhash_sql(n_hashes: int, cte_name: str = "mh") -> str:
 _MINHASH_SQL = _minhash_sql(N_HASHES)
 
 
-def minhash_of(sh: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
-    """(doc_id, j, minhash) for j in [0, n_hashes): shingle → one
-    portable 32-bit hash → n_hashes affine maps → min per seed.
-
-    One-pass form: n_hashes min-aggregates over a single groupBy(doc_id)
-    — the shingle stream is scanned once with map-side partial
-    aggregation, instead of being row-amplified ×n_hashes before the
-    shuffle (same lesson as the SimHash one-pass rewrite).  The long
-    (doc_id, j, minhash) shape is recovered by exploding the aggregated
-    row — only docs×n_hashes rows, post-agg."""
+def _minhash_wide(sh: DataFrame, n_hashes: int) -> DataFrame:
+    """(doc_id, _m0 … _m{n-1}): one groupBy(doc_id) with n_hashes
+    min-aggregates — the shingle stream is scanned once with map-side
+    partial aggregation, instead of being row-amplified ×n_hashes before
+    the shuffle (same lesson as the SimHash one-pass rewrite)."""
     # the md5 base hash is materialized as a column BEFORE the groupBy:
     # referencing the expression inside the n_hashes agg inputs would
     # inline (and re-evaluate) the md5 once per seed — Catalyst does not
@@ -165,7 +167,16 @@ def minhash_of(sh: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
         ).alias(f"_m{j}")
         for j, (a, b) in enumerate(_minhash_coeffs(n_hashes))
     ]
-    wide = hashed.groupBy("doc_id").agg(*mins)
+    return hashed.groupBy("doc_id").agg(*mins)
+
+
+def minhash_of(sh: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
+    """(doc_id, j, minhash) for j in [0, n_hashes): shingle → one
+    portable 32-bit hash → n_hashes affine maps → min per seed
+    (:func:`_minhash_wide`).  The long (doc_id, j, minhash) shape is
+    recovered by exploding the aggregated row — only docs×n_hashes rows,
+    post-agg."""
+    wide = _minhash_wide(sh, n_hashes)
     jm = F.array(
         *[
             F.struct(
@@ -234,7 +245,8 @@ def _finish(result: DataFrame, *cached: DataFrame) -> DataFrame:
 
 
 def lsh_candidate_pairs(
-    mh: DataFrame,
+    sh: DataFrame,
+    n_hashes: int,
     bands: int,
     rows_per_band: int,
     cache_registry: list[DataFrame] | None = None,
@@ -244,15 +256,54 @@ def lsh_candidate_pairs(
     sees the corpus, and a band bucket of k docs emits k² pairs only
     within that bucket.
 
+    Two shapes matter at corpus scale, both measured at 325k docs / 128
+    hashes on local[32]:
+
+    - Band signatures are built STRAIGHT OFF the wide minhash row
+      (``concat_ws`` over each band's ``_m`` columns + one explode to
+      docs×bands rows).  The previous long-form groupBy(doc_id, band)
+      re-shuffled docs×n_hashes rows that the wide aggregate had already
+      grouped — 108 s of the pipeline's 370 s wall for zero information.
+    - The self-join keys on ``(band, sig)`` where ``sig`` is the
+      PORTABLE md5-derived 60-bit hash of the signature string
+      (:func:`portable_hash60`), so the join shuffles 3 fixed-width
+      columns instead of 40-char strings.  The DuckDB twin joins on the
+      same portable hash, so candidates — including any hash-collision
+      pair — are identical by construction in both engines; the
+      production path's exact-Jaccard verification then drops collision
+      pairs (an unrelated pair shares ~no shingles, far under any
+      threshold), exactly as it drops ordinary LSH false positives.  60
+      bits keeps collisions negligible at corpus scale (10⁹ docs → ~0.4
+      expected colliding pairs per band; 32 bits would birthday into
+      ~10⁸ spurious candidates per band there, and already produced ~400
+      measured at 325k docs).
+
     The band table is persisted (the self-join consumes it twice); pass
     ``cache_registry`` to receive it for unpersisting once the result is
     materialized (the top-level pipelines do, via :func:`_finish`)."""
-    banded = mh.groupBy(
-        "doc_id", F.floor(F.col("j") / rows_per_band).alias("band")
-    ).agg(_sig_concat("j", "minhash").alias("band_sig"))
-    # the self-join would otherwise compute the minhash subtree (the
-    # pipeline's dominant agg — n_hashes× row amplification) once per
-    # side; banded is only docs×bands rows, so persist it instead
+    wide = _minhash_wide(sh, n_hashes)
+    band_structs = [
+        F.struct(
+            F.lit(b).cast("long").alias("band"),
+            portable_hash60(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"_m{j}").cast("string")
+                        for j in range(b * rows_per_band, (b + 1) * rows_per_band)
+                    ],
+                )
+            ).alias("sig"),
+        )
+        for b in range(bands)
+    ]
+    banded = wide.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("_bs")
+    ).select(
+        "doc_id",
+        F.col("_bs.band").alias("band"),
+        F.col("_bs.sig").alias("sig"),
+    )
     banded = banded.persist()
     if cache_registry is not None:
         cache_registry.append(banded)
@@ -261,7 +312,7 @@ def lsh_candidate_pairs(
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.sig") == F.col("b.sig"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
@@ -332,8 +383,7 @@ def lsh_near_dup_pairs(
     # scan subtrees.  MEMORY_AND_DISK: spills rather than recomputes.
     sh = shingles_of(docs, shingle).persist()
     cached: list[DataFrame] = [sh]
-    mh = minhash_of(sh, n_hashes)
-    pairs = lsh_candidate_pairs(mh, bands, rows, cache_registry=cached)
+    pairs = lsh_candidate_pairs(sh, n_hashes, bands, rows, cache_registry=cached)
     return _finish(verify_pairs_jaccard(sh, pairs, min_jaccard=threshold), *cached)
 
 
@@ -370,13 +420,13 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH {_SHINGLES_SQL}, {_MINHASH_SQL},
     bands AS (
       SELECT doc_id, j // {ROWS_PER_BAND} AS band,
-             string_agg(minhash::VARCHAR, ',' ORDER BY j) AS band_sig
+             {portable_hash60_sql("string_agg(minhash::VARCHAR, ',' ORDER BY j)")} AS sig
       FROM mh GROUP BY doc_id, j // {ROWS_PER_BAND}
     ),
     pairs AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bands a JOIN bands b
-        ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+        ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
     ),
     inter AS (
       SELECT p.doc_a, p.doc_b, count(*) AS inter_size
@@ -406,8 +456,7 @@ def dedup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     wall swing on this entry)."""
     sh = _shingles(spark, sf_dir).persist()
     cached: list[DataFrame] = [sh]
-    mh = _minhash(spark, sh)
-    pairs = lsh_candidate_pairs(mh, BANDS, ROWS_PER_BAND, cache_registry=cached)
+    pairs = lsh_candidate_pairs(sh, N_HASHES, BANDS, ROWS_PER_BAND, cache_registry=cached)
     return _finish(verify_pairs_jaccard(sh, pairs), *cached)
 
 
@@ -424,13 +473,13 @@ _MINHASH_PROD_SQL = _minhash_sql(PROD_N_HASHES)
     WITH {_SHINGLES_SQL}, {_MINHASH_PROD_SQL},
     bands AS (
       SELECT doc_id, j // {_PROD_ROWS} AS band,
-             string_agg(minhash::VARCHAR, ',' ORDER BY j) AS band_sig
+             {portable_hash60_sql("string_agg(minhash::VARCHAR, ',' ORDER BY j)")} AS sig
       FROM mh GROUP BY doc_id, j // {_PROD_ROWS}
     ),
     pairs AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bands a JOIN bands b
-        ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+        ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
     ),
     inter AS (
       SELECT p.doc_a, p.doc_b, count(*) AS inter_size

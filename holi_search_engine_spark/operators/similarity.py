@@ -410,7 +410,7 @@ def kmeans_centroids(
     takes the k vectors with the smallest portable hash — weaker seeding,
     but exactly expressible in the DuckDB oracle (``ann_ivf_topk_kmeans``
     pins it).  Each iteration is one ZERO-SHUFFLE assignment (a
-    higher-order argmax fold over the broadcast centroid array —
+    numpy-matmul argmax over the closure-shipped centroid matrix —
     :func:`_assign_nearest`) plus one elementwise-mean update via
     ``posexplode → groupBy(cid, pos)`` — n·dim scalar rows through a
     map-side-combined aggregation, the textbook Spark k-means shape.

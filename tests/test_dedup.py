@@ -89,13 +89,9 @@ def test_lsh_candidate_precision(spark):
     # (almost) only the true near-dups, so verification work is bounded
     rows = _seeded_corpus()
     docs = spark.createDataFrame(rows, "doc_id string, text string")
-    from holi_search_engine_spark.operators.dedup import (
-        lsh_candidate_pairs,
-        minhash_of,
-    )
+    from holi_search_engine_spark.operators.dedup import lsh_candidate_pairs
 
-    mh = minhash_of(shingles_of(docs), 128)
-    cands = lsh_candidate_pairs(mh, 32, 4).count()
+    cands = lsh_candidate_pairs(shingles_of(docs), 128, 32, 4).count()
     truth = _truth_pairs(rows, 0.5)
     assert cands <= 2 * len(truth)
 
