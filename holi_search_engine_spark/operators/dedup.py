@@ -131,7 +131,8 @@ def _minhash_coeffs(n_hashes: int) -> list[tuple[int, int]]:
 
 
 def _minhash_sql(n_hashes: int, cte_name: str = "mh") -> str:
-    """DuckDB twin of :func:`minhash_of` (same literals, same modulus)."""
+    """DuckDB twin of :func:`_minhash_wide` in long (doc_id, j, minhash)
+    form (same literals, same modulus)."""
     coeffs = ", ".join(
         f"({j}, {a}, {b})" for j, (a, b) in enumerate(_minhash_coeffs(n_hashes))
     )
@@ -170,28 +171,13 @@ def _minhash_wide(sh: DataFrame, n_hashes: int) -> DataFrame:
     return hashed.groupBy("doc_id").agg(*mins)
 
 
-def minhash_of(sh: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
-    """(doc_id, j, minhash) for j in [0, n_hashes): shingle → one
-    portable 32-bit hash → n_hashes affine maps → min per seed
-    (:func:`_minhash_wide`).  The long (doc_id, j, minhash) shape is
-    recovered by exploding the aggregated row — only docs×n_hashes rows,
-    post-agg."""
-    wide = _minhash_wide(sh, n_hashes)
-    jm = F.array(
-        *[
-            F.struct(
-                F.lit(j).alias("j"), F.col(f"_m{j}").alias("minhash")
-            )
-            for j in range(n_hashes)
-        ]
+def _sig_concat_wide(n_hashes: int):
+    """Signature string straight off the wide minhash row: the ``_m``
+    columns are already in seed order, so this is ``string_agg(...,
+    ORDER BY j)`` without the explode → re-groupBy round trip."""
+    return F.concat_ws(
+        ",", *[F.col(f"_m{j}").cast("string") for j in range(n_hashes)]
     )
-    return wide.select("doc_id", F.explode(jm).alias("_p")).select(
-        "doc_id", F.col("_p.j").alias("j"), F.col("_p.minhash").alias("minhash")
-    )
-
-
-def _minhash(spark: SparkSession, sh: DataFrame) -> DataFrame:
-    return minhash_of(sh, N_HASHES)
 
 
 def lsh_params_for_threshold(threshold: float, n_hashes: int) -> tuple[int, int]:
@@ -387,16 +373,6 @@ def lsh_near_dup_pairs(
     return _finish(verify_pairs_jaccard(sh, pairs, min_jaccard=threshold), *cached)
 
 
-def _sig_concat(order_col: str, value_col: str):
-    return F.concat_ws(
-        ",",
-        F.transform(
-            F.sort_array(F.collect_list(F.struct(order_col, value_col))),
-            lambda s: s[value_col].cast("string"),
-        ),
-    )
-
-
 @q(
     "dedup_minhash_signatures",
     f"""
@@ -408,10 +384,12 @@ def _sig_concat(order_col: str, value_col: str):
 )
 def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signature (k=8) per doc: shingle → k seeded hashes → min per
-    seed.  Seeds are prefixed into the hashed string so both engines
-    compute identical signatures without engine-native hash functions."""
-    mh = _minhash(spark, _shingles(spark, sf_dir))
-    return mh.groupBy("doc_id").agg(_sig_concat("j", "minhash").alias("signature"))
+    seed, concatenated map-side off the wide aggregate row
+    (:func:`_sig_concat_wide` — one shuffle total, same lesson as the
+    banding fuse).  The affine-map family makes both engines compute
+    identical signatures without engine-native hash functions."""
+    wide = _minhash_wide(_shingles(spark, sf_dir), N_HASHES)
+    return wide.select("doc_id", _sig_concat_wide(N_HASHES).alias("signature"))
 
 
 @q(
@@ -492,12 +470,14 @@ _MINHASH_PROD_SQL = _minhash_sql(PROD_N_HASHES)
     SELECT doc_a, doc_b, jaccard FROM (
       SELECT p.doc_a, p.doc_b,
              round(coalesce(i.inter_size, 0)::DOUBLE
-                   / (sa.sz + sb.sz - coalesce(i.inter_size, 0)), 6) AS jaccard
+                   / (sa.sz + sb.sz - coalesce(i.inter_size, 0)), 6) AS jaccard,
+             coalesce(i.inter_size, 0)::DOUBLE
+                   / (sa.sz + sb.sz - coalesce(i.inter_size, 0)) AS jraw
       FROM pairs p
       LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
       JOIN sizes sa ON sa.doc_id = p.doc_a
       JOIN sizes sb ON sb.doc_id = p.doc_b
-    ) WHERE jaccard >= {PROD_THRESHOLD}
+    ) WHERE jraw >= {PROD_THRESHOLD}
     """,
 )
 def dedup_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:

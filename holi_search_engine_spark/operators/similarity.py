@@ -293,7 +293,18 @@ def _assign_nearest(emb: DataFrame, cent: DataFrame) -> DataFrame:
             .withColumn("cid", F.lit(None).cast("long"))
             .where(F.lit(False))
         )
-    C = np.asarray([list(r[1]) for r in crows], dtype=np.float64)  # k × dim
+    # None / null-element centroid vectors become NaN rows: their denom
+    # is NaN, every sim stays at the sentinel, and they can win only the
+    # all-sentinel tie — exactly the expression form's null-cosine path
+    dim = max((len(r[1]) for r in crows if r[1] is not None), default=0)
+    C = np.vstack(
+        [
+            np.asarray(r[1], dtype=np.float64)
+            if r[1] is not None and len(r[1]) == dim
+            else np.full(dim, np.nan)
+            for r in crows
+        ]
+    ) if dim else np.zeros((len(crows), 0))
     cids = np.asarray([r[0] for r in crows], dtype=np.int64)
     cnorm = np.sqrt((C * C).sum(axis=1))
 
@@ -301,15 +312,28 @@ def _assign_nearest(emb: DataFrame, cent: DataFrame) -> DataFrame:
         for pdf in batches:
             if not len(pdf):
                 continue
-            E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            enorm = np.sqrt((E * E).sum(axis=1))
-            denom = enorm[:, None] * cnorm[None, :]
-            # zero norm → null cosine in the expression form → -1.5
-            # sentinel: beats nothing real, so the row falls to the
-            # first (smallest) cid, as before
-            sims = np.full(denom.shape, -1.5)
-            np.divide(E @ C.T, denom, out=sims, where=denom > 0)
-            idx = np.argmax(np.round(sims, 6), axis=1)  # first max = min cid
+            embs = pdf["embedding"].to_numpy()
+            # null or length-mismatched embeddings: the expression form's
+            # zip_with gave them a null cosine against EVERY centroid →
+            # sentinel everywhere → smallest cid; keep them out of the
+            # matmul and leave their idx at 0 (cids is cid-ascending)
+            valid = np.array(
+                [e is not None and len(e) == dim for e in embs], dtype=bool
+            )
+            idx = np.zeros(len(embs), dtype=np.int64)
+            if valid.any():
+                E = np.vstack(
+                    [np.asarray(e, dtype=np.float64) for e in embs[valid]]
+                )
+                enorm = np.sqrt((E * E).sum(axis=1))
+                denom = enorm[:, None] * cnorm[None, :]
+                # zero/NaN norm → null cosine in the expression form →
+                # -1.5 sentinel: beats nothing real, so the row falls to
+                # the first (smallest) cid, as before
+                sims = np.full(denom.shape, -1.5)
+                np.divide(E @ C.T, denom, out=sims, where=denom > 0)
+                sims[~np.isfinite(sims)] = -1.5  # null elements → NaN dot
+                idx[valid] = np.argmax(np.round(sims, 6), axis=1)  # 1st = min cid
             yield pd.DataFrame(
                 {
                     "vec_id": pdf["vec_id"].to_numpy(),

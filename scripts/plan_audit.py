@@ -47,9 +47,9 @@ AUDIT: list[tuple[str, list[str], list[str]]] = [
     # multi-term snippets stay a map-only scan: no exchange, no join
     ("search_snippets", ["ReadSchema: struct<doc_id:bigint,text:string>"], ["Exchange"]),
     # LSH candidate generation joins bucket-mates only — equi-join on
-    # (band, band_sig), never a cartesian; the persisted band table shows
-    # up as an InMemoryTableScan
-    ("dedup_lsh_pairs", ["InMemoryTableScan"], []),
+    # (band, sig), the portable 60-bit band-signature hash, never a
+    # cartesian; the persisted band table shows up as an InMemoryTableScan
+    ("dedup_lsh_pairs", ["InMemoryTableScan"], ["CartesianProduct"]),
     # one-pass aggregations: whole-stage codegen'd hash aggregate, and
     # exactly one exchange (the groupBy itself)
     ("dedup_simhash", ["HashAggregate"], ["CartesianProduct"]),

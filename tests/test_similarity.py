@@ -55,3 +55,33 @@ def test_ivf_kmeans_matches_bruteforce(clustered):
     assert len(got_ids) == 10
     recall = len(set(got_ids) & truth) / 10
     assert recall >= 0.9, (sorted(got_ids), sorted(truth))
+
+
+def test_assign_nearest_null_and_ragged_rows(spark):
+    """Rows the matmul kernel cannot stack — NULL embeddings, wrong-length
+    arrays, null elements — must fall to the smallest cid (the expression
+    form's null-cosine sentinel path), not crash the job; an empty
+    centroid frame yields an empty assignment."""
+    from pyspark.sql import functions as F
+
+    from holi_search_engine_spark.operators.similarity import _assign_nearest
+
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (1, None),               # NULL embedding
+            (2, [1.0, 0.0]),         # ragged length
+            (3, [0.0, 0.0, 0.0]),    # zero norm
+            (4, [1.0, None, 0.0]),   # null element
+            (5, [0.0, 1.0, 0.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    cent = spark.createDataFrame(
+        [(7, [1.0, 0.0, 0.0]), (9, [0.0, 1.0, 0.0])],
+        "cid long, cvec array<float>",
+    )
+    got = {r["vec_id"]: r["cid"] for r in _assign_nearest(emb, cent).collect()}
+    assert got == {0: 7, 1: 7, 2: 7, 3: 7, 4: 7, 5: 9}
+    empty = cent.where(F.lit(False))
+    assert _assign_nearest(emb, empty).count() == 0
