@@ -251,16 +251,11 @@ def main() -> None:
         docs = spark.read.parquet(f"{sc_dir}/docs")
         n_docs = docs.count()
         extra["scale_docs_n"] = float(n_docs)
-        before = _stages(spark)
-        t0 = time.time()
-        pairs = lsh_near_dup_pairs(docs, n_hashes=128, threshold=0.5)
-        n_pairs = pairs.count()
-        scale_timings["scale_lsh_near_dup_k128"] = time.time() - t0
-        pairs.unpersist()
-        extra["scale_lsh_pairs_found"] = float(n_pairs)
-        for k, v in shuffle_delta(spark, before).items():
-            extra[f"scale_lsh_{k}"] = v
 
+        # ANN runs FIRST: the LSH entry churns ~80M cached shingle rows
+        # through the executor heap, and running the Arrow-heavy k-means
+        # right after it measured 10x its clean-session wall (208s vs
+        # 21.8s) — old-gen pressure, not the plan
         dim = 64
         emb = spark.range(n_docs).select(
             F.col("id").alias("vec_id"),
@@ -283,6 +278,17 @@ def main() -> None:
         assert len(top) == 10
         for k, v in shuffle_delta(spark, before).items():
             extra[f"scale_ann_{k}"] = v
+
+        spark.catalog.clearCache()
+        before = _stages(spark)
+        t0 = time.time()
+        pairs = lsh_near_dup_pairs(docs, n_hashes=128, threshold=0.5)
+        n_pairs = pairs.count()
+        scale_timings["scale_lsh_near_dup_k128"] = time.time() - t0
+        pairs.unpersist()
+        extra["scale_lsh_pairs_found"] = float(n_pairs)
+        for k, v in shuffle_delta(spark, before).items():
+            extra[f"scale_lsh_{k}"] = v
         shutil.rmtree(sc_dir, ignore_errors=True)
         timings.update({k: round(v, 3) for k, v in scale_timings.items()})
 
