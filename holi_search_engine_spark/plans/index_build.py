@@ -366,9 +366,14 @@ def _build_index_inner(
         if doc_cols == DOC_COLS:
             from .compression import TURN_BITS
 
+            # try_cast, not cast: under Spark 4's default ANSI mode a
+            # digit-less conv_id makes a plain cast of the extracted ""
+            # THROW inside this very validation query — the guard must
+            # survive exactly the nonconforming input it exists to detect
+            # (null round-trip → rt_ok False → string-column fallback)
             rt = F.format_string(
                 "conv-%08d",
-                F.regexp_extract("conv_id", r"(\d+)", 1).cast("long"),
+                F.regexp_extract("conv_id", r"(\d+)", 1).try_cast("long"),
             )
             chk = transcripts.agg(
                 F.count(F.lit(1)).alias("n"),

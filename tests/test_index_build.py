@@ -253,6 +253,31 @@ def test_turn_idx_overflow_falls_back_to_string_keys(spark, dictionary, tmp_path
     assert set(int(t) for t in stats["turn_idx"]) == {0, over}
 
 
+def test_digitless_conv_id_falls_back_not_throws(spark, dictionary, tmp_path):
+    """A conv_id with NO digits makes regexp_extract yield '' — under
+    Spark 4's default ANSI mode a plain cast('' as long) THROWS inside
+    the round-trip validation itself, crashing the build before the
+    fallback it guards could trigger; try_cast must route such corpora
+    to string doc columns."""
+    from holi_search_engine_spark.plans.index_build import build_index
+
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["alpha", "conv-00000001"],
+            "turn_idx": [0, 1],
+            "text": ["alpha beta", "beta gamma"],
+        }
+    )
+    out = str(tmp_path / "idx_digitless")
+    paths = build_index(
+        spark, spark.createDataFrame(pdf), out, dictionary, buckets=2,
+        build_blocks=False,
+    )
+    assert "doc_key" not in spark.read.parquet(paths.term_tf).columns
+    stats = spark.read.parquet(paths.doc_stats).toPandas()
+    assert set(stats["conv_id"]) == {"alpha", "conv-00000001"}
+
+
 def test_tokenize_terms_doc_key_guard_raises(spark):
     """Kernel defense-in-depth: forcing emit_doc_key on a non-conforming
     batch raises instead of corrupting keys."""
