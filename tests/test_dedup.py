@@ -219,3 +219,52 @@ def test_connected_components_empty(spark):
 
     pairs = spark.createDataFrame([], "doc_a string, doc_b string")
     assert connected_components(pairs).count() == 0
+
+
+def test_lsh_hashed_join_matches_string_join(spark):
+    """The candidate self-join keys on the portable 60-bit signature hash;
+    on collision-free data (certain at this size) it must produce exactly
+    the pairs a band-signature STRING join produces."""
+    from pyspark.sql import functions as F
+
+    from holi_search_engine_spark.operators.dedup import (
+        _minhash_wide,
+        lsh_candidate_pairs,
+        shingles_of,
+    )
+
+    rows = _seeded_corpus()
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    sh = shingles_of(docs)
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in lsh_candidate_pairs(sh, 16, 8, 2).collect()
+    }
+
+    wide = _minhash_wide(sh, 16)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                ",", *[F.col(f"_m{j}").cast("string") for j in range(2 * b, 2 * b + 2)]
+            ).alias("band_sig"),
+        )
+        for b in range(8)
+    ]
+    banded = wide.select("doc_id", F.explode(F.array(*band_structs)).alias("_bs")).select(
+        "doc_id", "_bs.band", "_bs.band_sig"
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    want = {
+        (r["doc_a"], r["doc_b"])
+        for r in a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+        .collect()
+    }
+    assert got == want and len(want) > 0

@@ -85,3 +85,43 @@ def test_assign_nearest_null_and_ragged_rows(spark):
     assert got == {0: 7, 1: 7, 2: 7, 3: 7, 4: 7, 5: 9}
     empty = cent.where(F.lit(False))
     assert _assign_nearest(emb, empty).count() == 0
+
+
+def test_assign_nearest_matches_bruteforce_random(spark):
+    """Property check on seeded random data: the Arrow matmul kernel's
+    assignment equals an independent per-row brute force applying the
+    documented rules — float64 cosine rounded to 6dp, argmax with
+    smallest-cid tie-break, zero-norm rows/centroids to the sentinel."""
+    from holi_search_engine_spark.operators.similarity import _assign_nearest
+
+    rng = np.random.default_rng(7)
+    for trial in range(3):
+        n, k, dim = 200, 7, 5
+        mat = rng.integers(-3, 4, size=(n, dim)).astype(np.float64)
+        mat[rng.integers(0, n, 5)] = 0.0  # some zero-norm rows
+        cmat = rng.integers(-3, 4, size=(k, dim)).astype(np.float64)
+        cmat[0] = 0.0  # one zero-norm centroid
+        cids = sorted(int(c) for c in rng.choice(1000, size=k, replace=False))
+        emb = spark.createDataFrame(
+            [(i, [float(x) for x in mat[i]]) for i in range(n)],
+            "vec_id long, embedding array<float>",
+        )
+        cent = spark.createDataFrame(
+            [(cids[j], [float(x) for x in cmat[j]]) for j in range(k)],
+            "cid long, cvec array<float>",
+        )
+        got = {r["vec_id"]: r["cid"] for r in _assign_nearest(emb, cent).collect()}
+
+        # independent brute force — float32 ingest like the Spark schema
+        m32 = mat.astype(np.float32).astype(np.float64)
+        c32 = cmat.astype(np.float32).astype(np.float64)
+        for i in range(n):
+            best = (-2.0, None)
+            for j in range(k):
+                na, nb = np.linalg.norm(m32[i]), np.linalg.norm(c32[j])
+                sim = -1.5 if na * nb == 0 else round(
+                    float(m32[i] @ c32[j] / (na * nb)), 6
+                )
+                if sim > best[0]:
+                    best = (sim, cids[j])
+            assert got[i] == best[1], (trial, i, got[i], best)
