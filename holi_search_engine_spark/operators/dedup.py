@@ -266,7 +266,18 @@ def lsh_candidate_pairs(
 
     The band table is persisted (the self-join consumes it twice); pass
     ``cache_registry`` to receive it for unpersisting once the result is
-    materialized (the top-level pipelines do, via :func:`_finish`)."""
+    materialized (the top-level pipelines do, via :func:`_finish`).
+
+    The persist happens AFTER a ``repartition(band, sig)``: the cached
+    plan then carries HashPartitioning on exactly the join keys, so BOTH
+    self-join sides read the cache co-partitioned and EnsureRequirements
+    inserts no exchange — one shuffle of the band table instead of two
+    (measured: the two join-side exchanges were 2×204 MB at 300k docs /
+    k=128, the single repartition write is 204 MB; shape asserted in
+    ``tests/test_plans.py``).  A groupBy+collect_list pair expansion would
+    halve it again but materializes each bucket's k²/2 pairs as one array
+    row — a mega-bucket (10⁵ copies of a boilerplate doc) would OOM a
+    task, while the streaming join only colocates them."""
     wide = _minhash_wide(sh, n_hashes)
     band_structs = [
         F.struct(
@@ -290,7 +301,8 @@ def lsh_candidate_pairs(
         F.col("_bs.band").alias("band"),
         F.col("_bs.sig").alias("sig"),
     )
-    banded = banded.persist()
+    parts = max(8, 2 * sh.sparkSession.sparkContext.defaultParallelism)
+    banded = banded.repartition(parts, "band", "sig").persist()
     if cache_registry is not None:
         cache_registry.append(banded)
     a, b = banded.alias("a"), banded.alias("b")
@@ -307,7 +319,10 @@ def lsh_candidate_pairs(
 
 
 def verify_pairs_jaccard(
-    sh: DataFrame, pairs: DataFrame, min_jaccard: float | None = None
+    sh: DataFrame,
+    pairs: DataFrame,
+    min_jaccard: float | None = None,
+    cache_registry: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Exact shingle-Jaccard for candidate pairs only (semi-join
     intersection sizes; never materializes shingle sets driver-side).
@@ -315,7 +330,28 @@ def verify_pairs_jaccard(
     ``min_jaccard`` thresholds the UNROUNDED ratio (what the DuckDB
     oracles do); the output column stays rounded to 6dp.  Callers must
     not filter on the rounded output — a true jaccard just under the
-    threshold rounds up across it and diverges from the oracle."""
+    threshold rounds up across it and diverges from the oracle.
+
+    The shingle stream is first cut to CANDIDATE docs via a broadcast
+    semi-join (the candidate doc set is orders of magnitude smaller than
+    the corpus whenever near-dup detection is meaningful — that is the
+    entire point of the banding/df-cap pruning that produced ``pairs``).
+    Without the cut, the intersection join and the semi-join each
+    shuffled the FULL shingle stream keyed by doc — 2×204 MB of the k=128
+    pipeline's 1.0 GB shuffle at 300k docs, and the dominant term at
+    100 TB where the shingle stream is petabyte-shaped while candidates
+    stay bounded.  ``pairs`` is persisted here (it feeds the broadcast
+    build plus two joins); pass ``cache_registry`` to receive it for
+    unpersisting once the result is materialized."""
+    pairs = pairs.persist()
+    if cache_registry is not None:
+        cache_registry.append(pairs)
+    cand_docs = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .union(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh = sh.join(F.broadcast(cand_docs), "doc_id", "left_semi")
     sh_a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     sh_b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
     inter = (
@@ -370,7 +406,10 @@ def lsh_near_dup_pairs(
     sh = shingles_of(docs, shingle).persist()
     cached: list[DataFrame] = [sh]
     pairs = lsh_candidate_pairs(sh, n_hashes, bands, rows, cache_registry=cached)
-    return _finish(verify_pairs_jaccard(sh, pairs, min_jaccard=threshold), *cached)
+    return _finish(
+        verify_pairs_jaccard(sh, pairs, min_jaccard=threshold, cache_registry=cached),
+        *cached,
+    )
 
 
 @q(
@@ -435,7 +474,7 @@ def dedup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _shingles(spark, sf_dir).persist()
     cached: list[DataFrame] = [sh]
     pairs = lsh_candidate_pairs(sh, N_HASHES, BANDS, ROWS_PER_BAND, cache_registry=cached)
-    return _finish(verify_pairs_jaccard(sh, pairs), *cached)
+    return _finish(verify_pairs_jaccard(sh, pairs, cache_registry=cached), *cached)
 
 
 PROD_N_HASHES = 128
@@ -582,8 +621,12 @@ def ngram_jaccard_pairs(
     sets, thresholded at ``jaccard_min``.  The deterministic counterpart
     of the probabilistic :func:`lsh_near_dup_pairs`."""
     sh = shingles_of(docs, shingle).persist()  # 5 consumers, one tokenize
+    cached: list[DataFrame] = [sh]
     pairs = ngram_candidate_pairs(sh, df_cap, heavy_fallback)
-    return _finish(verify_pairs_jaccard(sh, pairs, min_jaccard=jaccard_min), sh)
+    return _finish(
+        verify_pairs_jaccard(sh, pairs, min_jaccard=jaccard_min, cache_registry=cached),
+        *cached,
+    )
 
 
 @q("dedup_ngram_jaccard", _NGRAM_JACCARD_SQL)
