@@ -538,6 +538,100 @@ def search_bm25_and_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DIST_BUCKETS = 8
+_DIST_RANGES = 8  # pinned: deterministic quantile range bounds per Q2-style determinism
+
+
+@q("search_bm25_distributed", _bm25_sql(BM25_QUERY_TEXT))
+def search_bm25_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DISTRIBUTED block-index BM25 plan as a driver-checked entry —
+    the 10^12-turn serving path (``query/distributed.py:
+    distributed_bm25_local_topk``: bucket-partition-pruned + term-pushed
+    block scan, broadcast doc-key-range join, cogroup→applyInPandas
+    block-sweep kernel, per-range local top-k unioned and merged), checked
+    against the SAME DuckDB oracle as ``search_bm25_topk``.
+
+    The block artifacts are built inside the entry from the driver-verified
+    surface token stream (``index_term_tf``) via the production encoder
+    (``plans/compression.py:build_block_index`` — delta-gap + varbyte +
+    block-max metadata), with ``doc_key = doc_id``; the production
+    tokenizer's quirk chain (dictionary filter + stemming) is not
+    SQL-expressible, so the tokenize front-end is verified by its own
+    entry and pytest while THIS entry verifies the distributed query
+    engine end-to-end: encode → scan-prune → sweep → merge.  The temp
+    artifact dir is left for the session's lifetime (the returned frame
+    reads it lazily; a few hundred KB at driver scale)."""
+    import json
+    import tempfile
+
+    from ..plans.compression import build_block_index
+    from ..plans.index_build import IndexPaths
+    from ..query.distributed import distributed_bm25_local_topk
+    from ..sources.catalog import write_table
+
+    tf = term_tf(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents")
+    n = docs.count()
+    stats = tf.groupBy("doc_id").agg(
+        F.pow(F.sum(F.col("tf").cast("double") * F.col("tf")), F.lit(0.25)).alias("ntf"),
+        F.sum("tf").cast("long").alias("dl"),
+    )
+    avgdl = stats.agg(F.avg("dl")).first()[0] or 1.0
+    out = tempfile.mkdtemp(prefix="holi_bm25_dist_")
+    paths = IndexPaths(out)
+    with open(paths.meta_json, "w") as f:
+        json.dump(
+            {
+                "doc_cols": ["doc_id"],
+                "n_docs": int(n),
+                "n_for_idf": int(n),
+                "n_turns": int(n),
+                "buckets": _DIST_BUCKETS,
+                "avgdl": float(avgdl),
+                "packed_doc_key": True,  # doc_key IS doc_id (already int64)
+            },
+            f,
+        )
+    stream = tf.join(stats, "doc_id").select(
+        F.col("doc_id").cast("long").alias("doc_key"),
+        "term",
+        F.col("tf").cast("int").alias("tf"),
+        "ntf",
+        "dl",
+    )
+    build_block_index(
+        spark, paths, bucket=None, doc_cols=["doc_id"], buckets=_DIST_BUCKETS,
+        term_stream=stream, avgdl=float(avgdl),
+    )
+    write_table(
+        stats.select(F.col("doc_id").cast("long").alias("doc_key"), "ntf", "dl"),
+        paths.doc_stats,
+    )
+    # wmetric carries the reference's +1-df quirk (Q3); the distributed
+    # path undoes it (bm25_idf(n, df - 1)), landing on the oracle's df
+    write_table(
+        tf.groupBy("term")
+        .agg((F.count(F.lit(1)) + 1).alias("df"))
+        .withColumn("idf", F.log(F.lit(float(n)) / F.col("df"))),
+        paths.wmetric,
+    )
+    local = distributed_bm25_local_topk(
+        spark, paths, BM25_QUERY_TEXT, k=10, n_ranges=_DIST_RANGES
+    )
+    if local is None:  # no terms / empty corpus
+        return spark.createDataFrame([], "doc_id long, score double")
+    # the union of per-range top-ks contains the global top-k (every
+    # posting of a doc shares its key); this merge is the Spark-side twin
+    # of distributed_bm25_topk's driver merge, rounded to the oracle's 6dp
+    return (
+        local.select(
+            F.col("doc_key").alias("doc_id"), F.round("score", 6).alias("score")
+        )
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(10)
+    )
+
+
 SNIPPET_TERMS = ("stream", "join", "table")
 SNIPPET_W = 90  # snippet window (chars)
 SNIPPET_PRE = 30  # chars of context before the anchor

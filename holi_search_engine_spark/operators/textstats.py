@@ -114,16 +114,6 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q(
-    "text_token_counts",
-    f"""
-    SELECT doc_id,
-           len(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> ''))
-             AS ws_tokens,
-           len(regexp_extract_all(text, '{_BPE_PATTERN}')) AS bpe_tokens
-    FROM documents
-    """,
-)
 def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting two ways: whitespace split and a BPE-ish regex
     (letter runs, single digits, single punctuation) — the unit used for
@@ -138,14 +128,6 @@ def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q(
-    "text_fingerprint",
-    """
-    SELECT doc_id,
-           md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fingerprint
-    FROM documents
-    """,
-)
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Normalized content fingerprint (lowercase, collapsed whitespace →
     md5): the doc-identity key for exact dedup across formatting noise."""
@@ -155,6 +137,35 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")).alias(
             "fingerprint"
         ),
+    )
+
+
+@q(
+    "text_tokens_fingerprint",
+    f"""
+    SELECT doc_id,
+           len(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> ''))
+             AS ws_tokens,
+           len(regexp_extract_all(text, '{_BPE_PATTERN}')) AS bpe_tokens,
+           md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fingerprint
+    FROM documents
+    """,
+)
+def text_tokens_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compound driver entry for :func:`text_token_counts` +
+    :func:`text_fingerprint` — both are map-only per-doc projections of the
+    same scan, so one select carries all four columns and a wrong answer
+    from either operator flips the compound hash (the same consolidation
+    pattern as the ``flame_*`` entries).  Consolidated in round 5 to free a
+    slot in the driver's 50-entry window for ``search_bm25_distributed``,
+    the cogroup/applyInPandas distributed query plan.
+
+    Built FROM the constituent functions (doc_id equi-join of two
+    projections of the same scan) so their actual code paths are what the
+    hash gates; the join is verification scaffolding — each constituent
+    stays map-only in production use."""
+    return text_token_counts(spark, sf_dir).join(
+        text_fingerprint(spark, sf_dir), "doc_id"
     )
 
 

@@ -68,8 +68,10 @@ AUDIT: list[tuple[str, list[str], list[str]]] = [
     # codegen, so the assertion is exchange-freedom + pruning, not a
     # codegen marker)
     ("text_quality", ["ReadSchema: struct<doc_id:bigint,text:string>"], ["Exchange"]),
-    # token stats: same — map-only over the two needed columns
-    ("text_token_counts", ["ReadSchema: struct<doc_id:bigint,text:string>"], ["Exchange"]),
+    # token stats + fingerprint (compound entry): each constituent is a
+    # map-only projection; the compound's doc_id equi-join is verification
+    # scaffolding and must stay a hash/broadcast join, never a cartesian
+    ("text_tokens_fingerprint", ["ReadSchema: struct<doc_id:bigint,text:string>"], []),
     # end-to-end curation: ONE scan computes every signal and ONE
     # hash-partitioned exchange (the fingerprint window) dedups — the
     # COUNT_RULES row makes "one scan + one shuffle" a checked claim,
@@ -80,6 +82,14 @@ AUDIT: list[tuple[str, list[str], list[str]]] = [
     # predicate is non-equi, and the broadcast side is r rows), per-range
     # kernel via cogroup→applyInPandas.  Built on a real index artifact
     # (SPECIAL_FRAMES), not an sf-dir registry entry.
+    # the driver-registry twin of distributed_bm25_topk: same cogroup
+    # kernel + broadcast range join, over block artifacts built in-entry
+    # from the surface token stream
+    (
+        "search_bm25_distributed",
+        ["FlatMapCoGroupsInPandas", "BroadcastNestedLoopJoin"],
+        ["SortMergeJoin"],
+    ),
     (
         "distributed_bm25_topk",
         [
