@@ -373,14 +373,28 @@ def main() -> None:
     # columnar stages (doc_stats / blocks / wmetric) are memory-bus-bound
     # (BENCH/membw.py): their ceiling is the streaming-bandwidth speedup
     # the bus delivered during that pair.
+    # A stage leg under STAGE_WALL_FLOOR seconds is dominated by fixed
+    # overhead (job submit, task launch, manifest IO — constants that do
+    # not shrink with cores), so its N/4N ratio measures overhead, not the
+    # plan: r4's official run read doc_stats at 0.703 vs an 0.863 ceiling
+    # and one confirm pair read wmetric at 0.211 — sub-second stages in
+    # otherwise-healthy pairs.  Such pairs are EXCLUDED from the stage's
+    # efficiency median and counted in ``pairs_below_wall_floor``; a stage
+    # with no qualifying pair is reported ``overhead_dominated`` instead
+    # of with a misleading number.  (The whole-build efficiency is
+    # unaffected — this floor applies only to the per-stage breakdown.)
+    STAGE_WALL_FLOOR = 2.0  # seconds per leg
     CEIL_OF = {"stage_a": "tok", "doc_stats": "bw", "blocks": "bw", "wmetric": "bw"}
     stage_rows = {}
     for st, ceil_key in CEIL_OF.items():
-        effs, ceils = [], []
+        effs, ceils, floored = [], [], 0
         for a, b in zip(results[args.n], results[4 * args.n]):
             wa = a.get("stage_walls", {}).get(st)
             wb = b.get("stage_walls", {}).get(st)
             if not wa or not wb or not a.get(ceil_key) or not b.get(ceil_key):
+                continue
+            if min(wa, wb) < STAGE_WALL_FLOOR:
+                floored += 1
                 continue
             effs.append((wa / wb) / 4.0)
             ceils.append((b[ceil_key] / a[ceil_key]) / 4.0)
@@ -392,6 +406,14 @@ def main() -> None:
                 "meets_ceiling": bool(e >= 0.9 * c),
                 "per_pair_eff": [round(x, 3) for x in effs],
                 "per_pair_ceiling": [round(x, 3) for x in ceils],
+                "pairs_below_wall_floor": floored,
+                "wall_floor_sec": STAGE_WALL_FLOOR,
+            }
+        elif floored:
+            stage_rows[st] = {
+                "overhead_dominated": True,
+                "pairs_below_wall_floor": floored,
+                "wall_floor_sec": STAGE_WALL_FLOOR,
             }
 
     eff = statistics.median(pair_eff)
@@ -483,18 +505,29 @@ tokenize kernel under multiprocessing; the JVM columnar stages against
 the measured streaming-bandwidth speedup of the shared memory bus
 (doc_stats runs concurrently with blocks by design — both legs run the
 identical shape, so the per-stage ratio holds).  "meets" = within 10% of
-the ceiling (median over pairs):
+the ceiling (median over pairs).  Stage legs under 2 s are excluded as
+overhead-dominated (fixed job-submit/task-launch/manifest constants
+dominate a sub-2 s leg and its N/4N ratio measures overhead, not the
+plan; the count of such excluded pairs is shown per stage — the
+whole-build efficiency above is unaffected):
 
-| stage | efficiency (N→4N, /4) | host ceiling (same pairs) | meets ±10% |
-|---|---|---|---|
+| stage | efficiency (N→4N, /4) | host ceiling (same pairs) | meets ±10% | pairs < 2 s floor |
+|---|---|---|---|---|
 {{stage_table}}
 <!-- /scaling:auto -->
 """
     stage_table = "\n".join(
-        f"| {st} | {r['efficiency']:.3f} | {r['ceiling']:.3f} | "
-        f"{'yes' if r['meets_ceiling'] else 'NO'} |"
+        (
+            f"| {st} | {r['efficiency']:.3f} | {r['ceiling']:.3f} | "
+            f"{'yes' if r['meets_ceiling'] else 'NO'} | "
+            f"{r.get('pairs_below_wall_floor', 0)} |"
+            if "efficiency" in r
+            else f"| {st} | overhead-dominated (all legs < "
+            f"{r['wall_floor_sec']:.0f} s) | — | — | "
+            f"{r['pairs_below_wall_floor']} |"
+        )
         for st, r in stage_rows.items()
-    ) or "| (no stage data) | | | |"
+    ) or "| (no stage data) | | | | |"
     block = block.replace("{stage_table}", stage_table)
     existing = ""
     if os.path.exists(md_path):
