@@ -219,13 +219,27 @@ def _decode_block(
 
 
 def jpeg_decode(data: bytes) -> np.ndarray:
-    """Baseline JPEG -> uint8 array (h, w) grayscale or (h, w, 3) RGB."""
+    """Baseline JPEG -> uint8 array (h, w) grayscale or (h, w, 3) RGB.
+
+    Raises ``ValueError`` for anything undecodable — including truncated
+    streams, which internally surface as short-read ``struct.error`` /
+    ``IndexError`` from the segment parser and bit reader and are
+    normalized here so callers handle ONE exception type (the fake-mode
+    media path and the fuzz tests rely on this contract)."""
+    try:
+        return _jpeg_decode_inner(data)
+    except (struct.error, IndexError) as e:
+        raise ValueError(f"truncated or corrupt JPEG stream: {e}") from e
+
+
+def _jpeg_decode_inner(data: bytes) -> np.ndarray:
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (no SOI)")
     pos = 2
     quant: dict[int, np.ndarray] = {}
     huff_dc: dict[int, dict] = {}
     huff_ac: dict[int, dict] = {}
+    saw_dht = False  # gates the OpenDML default-table fallback (see SOS)
     comps: list[dict] = []
     h = w = 0
     restart_interval = 0
@@ -256,6 +270,7 @@ def jpeg_decode(data: bytes) -> np.ndarray:
                 quant[tq] = tbl[UNZIGZAG]  # store natural order
                 o += 65
         elif marker == 0xC4:  # DHT
+            saw_dht = True
             o = 0
             while o < len(seg):
                 tc, th = seg[o] >> 4, seg[o] & 0xF
@@ -286,9 +301,20 @@ def jpeg_decode(data: bytes) -> np.ndarray:
                 cid, tabs = seg[1 + 2 * i:3 + 2 * i]
                 c = next(c for c in comps if c["id"] == cid)
                 # MJPEG-in-AVI (OpenDML) allows abbreviated frames that
-                # omit DHT and imply the Annex K tables: id 0 = luminance,
-                # anything else = chrominance.
+                # omit DHT ENTIRELY and imply the Annex K tables: id 0 =
+                # luminance, anything else = chrominance.  The fallback is
+                # restricted to that no-DHT-at-all case: a stream that DID
+                # define tables but references an absent id is corrupt,
+                # and silently backfilling it would decode to garbage —
+                # raise instead (mirrors the missing-DQT path below).
                 td, ta = tabs >> 4, tabs & 0xF
+                if (td not in huff_dc or ta not in huff_ac) and saw_dht:
+                    missing = "DC" if td not in huff_dc else "AC"
+                    mid = td if td not in huff_dc else ta
+                    raise ValueError(
+                        f"scan references undefined {missing} Huffman table "
+                        f"{mid} in a stream that defines other tables"
+                    )
                 if td not in huff_dc:
                     huff_dc[td] = _huff_lookup(*(DC_LUM if td == 0 else DC_CHROM))
                 if ta not in huff_ac:
@@ -571,12 +597,22 @@ def avi_decode_frames(data: bytes) -> list[bytes]:
     if not is_avi(data):
         raise ValueError("not a RIFF/AVI payload")
     frames: list[bytes] = []
+    riff_end = 12 + struct.unpack("<I", data[4:8])[0] - 4
+    # the RIFF size field covers the whole payload, so a file cut ANYWHERE
+    # inside it is detectable up front — raise instead of silently
+    # returning a frame prefix (a data pipeline must not half-decode)
+    if riff_end > len(data):
+        raise ValueError(
+            f"truncated AVI: RIFF declares {riff_end} bytes, have {len(data)}"
+        )
 
     def walk(o: int, end: int) -> None:
         while o + 8 <= end:
             cid = data[o:o + 4]
             (size,) = struct.unpack("<I", data[o + 4:o + 8])
             body_start = o + 8
+            if body_start + size > end:  # chunk overruns its parent
+                raise ValueError(f"truncated AVI chunk {cid!r}")
             if cid == b"LIST":
                 ltype = data[body_start:body_start + 4]
                 if ltype in (b"movi", b"hdrl", b"rec "):
@@ -585,7 +621,7 @@ def avi_decode_frames(data: bytes) -> list[bytes]:
                 frames.append(data[body_start:body_start + size])
             o = body_start + size + (size & 1)  # chunks pad to even
 
-    walk(12, 12 + struct.unpack("<I", data[4:8])[0] - 4)
+    walk(12, riff_end)
     return frames
 
 
@@ -593,6 +629,8 @@ def avi_meta(data: bytes) -> dict:
     """width/height/frame count from the 'avih' main header."""
     if not is_avi(data):
         raise ValueError("not a RIFF/AVI payload")
+    if 12 + struct.unpack("<I", data[4:8])[0] - 4 > len(data):
+        raise ValueError("truncated AVI: RIFF size exceeds payload")
     o = 12
     while o + 8 <= len(data):
         cid = data[o:o + 4]
@@ -603,6 +641,8 @@ def avi_meta(data: bytes) -> dict:
                 scid = data[io_:io_ + 4]
                 (ssize,) = struct.unpack("<I", data[io_ + 4:io_ + 8])
                 if scid == b"avih":
+                    if len(data) < io_ + 64:
+                        raise ValueError("truncated avih header")
                     f = struct.unpack("<14I", data[io_ + 8:io_ + 64])
                     return {
                         "us_per_frame": f[0],

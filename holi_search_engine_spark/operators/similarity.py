@@ -445,7 +445,14 @@ def kmeans_centroids(
     the md5-derived portable hash, 6dp-rounded assignment argmins, and
     float32-cast centroid means — absorbing cross-engine summation-order
     drift below float32 epsilon so the pinned-iteration oracle stays
-    hash-identical."""
+    hash-identical.
+
+    EAGER: calling this runs Spark jobs immediately (each iteration's
+    assignment collects the current centroids driver-side for the matmul
+    closure, and ``localCheckpoint`` materializes per iteration) — it is
+    a training procedure that RETURNS a small result frame, not a lazy
+    plan to compose.  Same for :func:`ann_ivf_topk_kmeans`, which calls
+    it."""
     from pyspark.sql import Window
 
     if init == "kcenter":
@@ -489,7 +496,10 @@ def ann_ivf_topk_kmeans(
     iters: int = 5,
     init: str = "kcenter",
 ) -> DataFrame:
-    """Production IVF: k-means-trained centroids + the shared search body."""
+    """Production IVF: k-means-trained centroids + the shared search body.
+
+    EAGER (see :func:`kmeans_centroids`): training runs Spark jobs at
+    call time; only the returned top-k frame itself is lazy."""
     cent = kmeans_centroids(emb, k_cells, iters, init=init)
     return _ivf_search(emb, cent, query_vec_id, nprobe, top_k)
 

@@ -197,3 +197,28 @@ def test_gson_dumps_quirks():
     s2 = gson_dumps({"t": "a b c"})
     assert s2 == '{"t":"a\\u2028b\\u2029c"}'
     assert json.loads(s2) == {"t": "a b c"}
+
+
+def test_gson_dumps_non_string_keys():
+    """Adversarial key fuzz (round-4 verdict housekeeping): Gson's default
+    MapTypeAdapter (complexMapKeySerialization off) stringifies primitive
+    map keys — Integer 1 → "1", Boolean → "true"/"false", Double 1.5 →
+    "1.5", null key → "null" — which is exactly what json.dumps does, so
+    gson_dumps must produce the Gson bytes for these too.  The HTML-safe
+    escaping applies in the key position as well (JsonWriter escapes
+    names with the same table).  The serving envelope itself only emits
+    string keys; this locks the helper's behavior for any future caller."""
+    import pytest
+
+    from holi_search_engine_spark.query.ranker import gson_dumps
+
+    assert gson_dumps({1: "a", 2.5: "b"}) == '{"1":"a","2.5":"b"}'
+    assert gson_dumps({True: 1, None: 2}) == '{"true":1,"null":2}'
+    # Double.toString(1.0) == "1.0" — Python matches
+    assert gson_dumps({1.0: "x"}) == '{"1.0":"x"}'
+    # HTML-unsafe characters in a STRING key escape like values do
+    assert gson_dumps({"a<b": "c=d"}) == '{"a\\u003cb":"c\\u003dd"}'
+    # non-primitive keys are unsupported in both engines' default modes:
+    # json.dumps raises TypeError (Gson needs enableComplexMapKeySerialization)
+    with pytest.raises(TypeError):
+        gson_dumps({(1, 2): "tuple-key"})
