@@ -59,6 +59,15 @@ def main():
             f"read={s.get('shuffleReadBytes',0)/1e6:>8.1f}MB tasks={s.get('numTasks')} "
             f"name={s.get('name','')[:70]}"
         )
+    new.sort(key=lambda s: -s.get("executorRunTime", 0))
+    print("by executor run time:")
+    for s in new[:14]:
+        print(
+            f"  stage {s['stageId']:>4} run={s.get('executorRunTime',0)/1e3:>8.1f}s "
+            f"cpu={s.get('executorCpuTime',0)/1e9:>8.1f}s "
+            f"spillMB={s.get('memoryBytesSpilled',0)/1e6:>8.1f} tasks={s.get('numTasks')} "
+            f"name={s.get('name','')[:60]}"
+        )
     shutil.rmtree(sc_dir, ignore_errors=True)
     spark.stop()
 
