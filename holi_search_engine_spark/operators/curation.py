@@ -77,7 +77,8 @@ def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     The eval split (doc_id % 97 == 0, ≈1%) stands in for a benchmark
     suite; real use passes any eval DataFrame to
     :func:`decontaminate_against` (default: the production 8-gram rule).  Scale shape: the eval side's distinct
-    n-grams are millions of short strings even for large suites — they
+    n-grams are millions of int64 hashes even for large suites
+    (``dedup.shingles_of`` hashes n-grams at generation) — they
     broadcast; the training side never shuffles (hash-join against the
     broadcast, then one partial-agg groupBy on doc_id)."""
     docs = load(spark, sf_dir, "documents")

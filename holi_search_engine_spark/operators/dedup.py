@@ -2,7 +2,8 @@
 exact (hash-groupBy), MinHash+LSH banding, n-gram Jaccard verification of
 candidates, and SimHash fingerprints.
 
-All hashes are portable md5-derived hashes (``common.py``) so the
+All hashes are portable md5-derived hashes (``common.py``; shingles are
+hashed to 62-bit longs at generation time — :func:`shingles_of`) so the
 Spark plans and the DuckDB oracle SQL agree bit-for-bit.  At 100 TB the
 same plans hold: shingling/explode is a map-only stage, the MinHash
 signature is one groupBy(doc), band signatures derive map-side from that
@@ -59,26 +60,89 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: the Mersenne prime 2³¹−1 — modulus of the shingle-hash lanes and of the
+#: MinHash affine family below
+_MINHASH_P = 2147483647
+#: positional-combine multipliers for the two 31-bit shingle-hash lanes
+#: (distinct primes; any constants < 2³¹ keep every intermediate in int64)
+_SH_A1 = 1000003
+_SH_A2 = 999983
+_SH_LO_MASK = (1 << 30) - 1
+
+
 def shingles_of(docs: DataFrame, shingle: int = SHINGLE) -> DataFrame:
-    """Distinct word-n-gram shingles per doc (map-only stage).
+    """Distinct word-n-gram shingles per doc as portable 62-bit HASHES
+    (map-only stage): ``(doc_id, shingle: long)``.
+
+    Each token is md5-hashed ONCE to a 60-bit value; a shingle is two
+    independent 31-bit polynomial lanes over the token hashes' high/low
+    30 bits (``s = (s·A + h) mod p`` per position, p = 2³¹−1), packed as
+    ``lane1·2³¹ + lane2`` — the k-gram analog of the rolling-fingerprint
+    construction in MMDS §3.2.2, chosen because both Spark and DuckDB can
+    evaluate it bit-identically (md5 + int64 arithmetic only).
+
+    Hashing at GENERATION time (instead of caching shingle strings and
+    md5-ing them downstream, as this pipeline did through round 4) was
+    measured at the 1.3M-doc bench tier to dominate the LSH wall: the
+    string build (``concat_ws`` per shingle + ``array_distinct`` over
+    strings + caching ~25-byte strings) cost ~5,000 CPU-s vs ~600 for the
+    whole 128-lane minhash aggregate.  The hashed stream caches 8-byte
+    longs, dedups/joins on longs, and the minhash base hash becomes one
+    ``% p`` instead of a second md5 pass.  Collisions at 62 bits are
+    negligible even at 10¹² corpus shingles: a candidate pair comparing
+    ~10³-shingle sets sees ~10⁶ cross pairs × 2⁻⁶² ≈ 2·10⁻¹³ expected
+    false intersections.
 
     Dedup happens inside the row via ``array_distinct`` — the distinct
     key is (doc_id, shingle), i.e. purely doc-local, so a corpus-wide
-    ``.distinct()`` shuffle would move every shingle string through an
-    exchange to deduplicate rows that all live in the same input row.
+    ``.distinct()`` shuffle would move every shingle through an exchange
+    to deduplicate rows that all live in the same input row.
 
     Contract: ``docs`` has ONE row per doc_id (the shape of every docs
     table here).  A caller feeding duplicate doc_id rows would double-emit
     those docs' shingles; pre-aggregate or ``dropDuplicates`` first."""
-    toks = F.split(F.trim(F.col("text")), r"\s+")
+    # each select boundary below pins a multi-referenced non-cheap alias
+    # (_toks: regex split of the full text, referenced 3×; _th: the md5
+    # transform, referenced 2k× per shingle) — CollapseProject does not
+    # inline non-cheap aliases referenced more than once, so the final
+    # plan evaluates split once and md5 once per token (plan-audited)
+    tokd = docs.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("_toks")
+    )
+    toks = F.col("_toks")
+    # one md5 + one conv per token; 15 hex chars = the most md5 bits that
+    # fit a signed int64 (same bound as portable_hash60)
+    th = F.transform(
+        toks, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+    )
     n = F.size(toks)
     idx = F.when(n >= shingle, F.sequence(F.lit(0), n - shingle)).otherwise(
         F.array().cast("array<int>")
     )
+    base = tokd.select("doc_id", th.alias("_th"), idx.alias("_idx"))
+    p = F.lit(_MINHASH_P)
+
+    def lane(i, mult, extract):
+        s = F.pmod(extract(F.element_at(F.col("_th"), i + 1)), p)
+        for j in range(1, shingle):
+            s = F.pmod(
+                s * F.lit(mult) + extract(F.element_at(F.col("_th"), i + 1 + j)), p
+            )
+        return s
+
+    def hi(x):
+        return F.shiftright(x, 30)
+
+    def lo(x):
+        return x.bitwiseAND(F.lit(_SH_LO_MASK))
+
     sh = F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, shingle)))
+        F.transform(
+            F.col("_idx"),
+            lambda i: lane(i, _SH_A1, hi) * F.lit(1 << 31) + lane(i, _SH_A2, lo),
+        )
     )
-    return docs.select("doc_id", F.explode(sh).alias("shingle"))
+    return base.select("doc_id", F.explode(sh).alias("shingle"))
 
 
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -93,29 +157,49 @@ def shingles_sql(
 ) -> str:
     """DuckDB twin of :func:`shingles_of` for word-``n``-grams (the single
     source of the shingle CTE — curation's decontamination oracle reuses
-    it at its own n).  DuckDB list slicing ``toks[i : i+k]`` is 1-based
-    inclusive → k+1 elements."""
+    it at its own n): identical md5-per-token 60-bit base hashes, same
+    two-lane polynomial, same 62-bit packing.  DuckDB lists are 1-based
+    (``th[i]``); the generated i range matches Spark's 0-based
+    ``sequence(0, n_tokens − k)``."""
+
+    def lane_sql(mult: int, extract) -> str:
+        s = f"({extract('th[i]')} % {_MINHASH_P})"
+        for j in range(1, n):
+            s = f"(({s} * {mult} + {extract(f'th[i + {j}]')}) % {_MINHASH_P})"
+        return s
+
+    def hi(x: str) -> str:
+        return f"({x} >> 30)"
+
+    def lo(x: str) -> str:
+        return f"({x} & {_SH_LO_MASK})"
+
     return f"""
     {cte_name} AS (
       SELECT DISTINCT doc_id,
-             array_to_string(toks[i : i + {n - 1}], ' ') AS {shingle_col}
-      FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+             ({lane_sql(_SH_A1, hi)} * {1 << 31}
+              + {lane_sql(_SH_A2, lo)}) AS {shingle_col}
+      FROM (SELECT doc_id,
+                   list_transform(string_split_regex(trim(text), '\\s+'),
+                                  t -> cast(('0x' || substr(md5(t), 1, 15)) as bigint)) AS th
             FROM {src}),
-           unnest(range(1, greatest(len(toks) - {n - 1}, 0) + 1)) AS r(i)
+           unnest(range(1, greatest(len(th) - {n - 1}, 0) + 1)) AS r(i)
     )"""
 
 
 _SHINGLES_SQL = shingles_sql()
 
-# Universal-hash MinHash family (MMDS §3.3.6): each shingle is md5-hashed
-# ONCE to h ∈ [0, p), then hash j is the affine map (a_j·h + b_j) mod p
-# over the Mersenne prime p = 2³¹−1.  Coefficients derive deterministically
-# from j (md5 of the seed label) and are embedded as plan literals, so the
-# Spark plan and the DuckDB oracle compute bit-identical signatures while
-# paying one crypto hash per shingle instead of n_hashes (the per-seed
-# string-md5 form spent >90% of the pipeline's CPU in md5 at k=128).
+# Universal-hash MinHash family (MMDS §3.3.6): the shingle's 62-bit hash
+# reduces to h = shingle % p ∈ [0, p), then hash j is the affine map
+# (a_j·h + b_j) mod p over the Mersenne prime p = 2³¹−1.  (Since
+# 2³¹ ≡ 1 mod p, h is exactly (lane1 + lane2) mod p — a uniform mix of
+# both lanes.)  Coefficients derive deterministically from j (md5 of the
+# seed label) and are embedded as plan literals, so the Spark plan and the
+# DuckDB oracle compute bit-identical signatures while paying ZERO crypto
+# hashes here — the only md5 in the pipeline is the per-token hash inside
+# :func:`shingles_of` (the earlier per-shingle-string md5 forms spent >90%
+# of the pipeline's CPU in md5/string work at k=128).
 # All intermediates fit int64: a,b,h < 2³¹ → a·h+b < 2⁶².
-_MINHASH_P = 2147483647
 
 
 def _minhash_coeffs(n_hashes: int) -> list[tuple[int, int]]:
@@ -136,7 +220,7 @@ def _minhash_sql(n_hashes: int, cte_name: str = "mh") -> str:
     coeffs = ", ".join(
         f"({j}, {a}, {b})" for j, (a, b) in enumerate(_minhash_coeffs(n_hashes))
     )
-    base = f"(({portable_hash32_sql('shingle')}) % {_MINHASH_P})"
+    base = f"(shingle % {_MINHASH_P})"
     return f"""
     {cte_name} AS (
       SELECT doc_id, c.j,
@@ -154,13 +238,13 @@ def _minhash_wide(sh: DataFrame, n_hashes: int) -> DataFrame:
     min-aggregates — the shingle stream is scanned once with map-side
     partial aggregation, instead of being row-amplified ×n_hashes before
     the shuffle (same lesson as the SimHash one-pass rewrite)."""
-    # the md5 base hash is materialized as a column BEFORE the groupBy:
+    # the base hash is materialized as a column BEFORE the groupBy:
     # referencing the expression inside the n_hashes agg inputs would
-    # inline (and re-evaluate) the md5 once per seed — Catalyst does not
+    # inline (and re-evaluate) it once per seed — Catalyst does not
     # CSE across aggregate expressions
     hashed = sh.select(
         "doc_id",
-        F.pmod(portable_hash32(F.col("shingle")), F.lit(_MINHASH_P)).alias("_hb"),
+        F.pmod(F.col("shingle"), F.lit(_MINHASH_P)).alias("_hb"),
     )
     mins = [
         F.min(
