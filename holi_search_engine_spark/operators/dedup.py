@@ -93,6 +93,13 @@ def shingles_of(docs: DataFrame, shingle: int = SHINGLE) -> DataFrame:
     ~10³-shingle sets sees ~10⁶ cross pairs × 2⁻⁶² ≈ 2·10⁻¹³ expected
     false intersections.
 
+    Changing the hash family changes which AT-THRESHOLD pairs the banding
+    catches (each family is an independent draw of the S-curve coin): at
+    the 1.3M-doc tier, old and new families agree on every pair whose
+    exact Jaccard EXCEEDS 0.5 and differ only on pairs at exactly J=0.5,
+    where catch probability is 0.873 — measured pair-set diff in
+    ``BENCH/lsh_pairset_r5.json``.
+
     Dedup happens inside the row via ``array_distinct`` — the distinct
     key is (doc_id, shingle), i.e. purely doc-local, so a corpus-wide
     ``.distinct()`` shuffle would move every shingle through an exchange
