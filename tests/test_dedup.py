@@ -311,3 +311,36 @@ def test_shingle_hash_spark_duckdb_twin_adversarial(spark):
     assert {d for d, _ in got} == {1, 2, 3, 4, 8, 9, 10}
     assert len({s for d, s in got if d == 2}) == 1  # in-doc dedup collapses
     assert all(0 <= s < 1 << 62 for _, s in got)
+
+
+def test_minhash_k128_spark_duckdb_twin(spark):
+    """Production-signature-size (k=128) MinHash twin: the wide Spark
+    aggregate must match the DuckDB affine-family CTE hash-for-hash on a
+    small corpus — the driver oracle only exercises k=8, so this is the
+    one place the 128-coefficient family itself is cross-engine checked."""
+    import duckdb
+    import pandas as pd
+
+    from holi_search_engine_spark.operators.dedup import (
+        _minhash_sql,
+        _minhash_wide,
+        shingles_of,
+        shingles_sql,
+    )
+
+    rows = _seeded_corpus(n_base=12, n_dups=4, doc_len=30)
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    wide = _minhash_wide(shingles_of(docs), 128).collect()
+    got = {
+        (r["doc_id"], j, r[f"_m{j}"]) for r in wide for j in range(128)
+    }
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    want = {
+        (d, int(j), int(m))
+        for d, j, m in con.execute(
+            f"WITH {shingles_sql(src='documents')}, {_minhash_sql(128)} "
+            "SELECT doc_id, j, minhash FROM mh"
+        ).fetchall()
+    }
+    assert got == want and len(got) == 16 * 128
