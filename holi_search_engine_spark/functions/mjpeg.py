@@ -635,11 +635,19 @@ def avi_meta(data: bytes) -> dict:
     while o + 8 <= len(data):
         cid = data[o:o + 4]
         (size,) = struct.unpack("<I", data[o + 4:o + 8])
+        # same contract as avi_decode_frames.walk(): a size field that
+        # overruns the payload is a truncation/corruption, raised as the
+        # normalized ValueError — never a raw struct.error from a short
+        # slice further down
+        if o + 8 + size > len(data):
+            raise ValueError(f"truncated AVI chunk {cid!r}")
         if cid == b"LIST" and data[o + 8:o + 12] == b"hdrl":
             io_ = o + 12
             while io_ + 8 <= o + 8 + size:
                 scid = data[io_:io_ + 4]
                 (ssize,) = struct.unpack("<I", data[io_ + 4:io_ + 8])
+                if io_ + 8 + ssize > o + 8 + size:  # overruns parent LIST
+                    raise ValueError(f"truncated AVI header chunk {scid!r}")
                 if scid == b"avih":
                     if len(data) < io_ + 64:
                         raise ValueError("truncated avih header")

@@ -560,18 +560,35 @@ def search_bm25_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     entry and pytest while THIS entry verifies the distributed query
     engine end-to-end: encode → scan-prune → sweep → merge.  The temp
     artifact dir is left for the session's lifetime (the returned frame
-    reads it lazily; a few hundred KB at driver scale)."""
+    reads it lazily; a few hundred KB at driver scale).
+
+    Float note (same measure-zero class ``tests/test_similarity.py``
+    documents for ``_assign_nearest``): each range's local top-k cuts on
+    the UNROUNDED kernel score while the final merge (and the oracle)
+    orders by the 6dp-rounded score — a doc whose unrounded score sits
+    within 1e-6 of a range's rank-k boundary could round into a tie the
+    oracle breaks the other way.  Not constructible from this integer-ish
+    corpus (``tests/test_distributed.py`` sweeps n_ranges against the
+    single-node engine, itself brute-force-verified in
+    ``tests/test_bm25.py``); at the exact boundary the union would need
+    k+1 rows per range to be loss-free."""
     import json
     import tempfile
 
     from ..plans.compression import build_block_index
-    from ..plans.index_build import IndexPaths
+    from ..plans.index_build import IndexPaths, build_wmetric
     from ..query.distributed import distributed_bm25_local_topk
     from ..sources.catalog import write_table
 
-    tf = term_tf(spark, sf_dir)
+    # cached: the stream is materialized by the avgdl action, the block
+    # encode, and both artifact writes below (the sibling BM25 entries
+    # cache the identical frame for the same reason)
+    tf = term_tf(spark, sf_dir).cache()
     docs = load(spark, sf_dir, "documents")
     n = docs.count()
+    # build_ntf's Q1 formula (Σtf²)^¼ fused with the BM25 doc length into
+    # ONE aggregate (reusing build_ntf verbatim would cost a second
+    # groupBy pass for dl); if Q1 ever changes, change both sites
     stats = tf.groupBy("doc_id").agg(
         F.pow(F.sum(F.col("tf").cast("double") * F.col("tf")), F.lit(0.25)).alias("ntf"),
         F.sum("tf").cast("long").alias("dl"),
@@ -607,14 +624,12 @@ def search_bm25_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
         stats.select(F.col("doc_id").cast("long").alias("doc_key"), "ntf", "dl"),
         paths.doc_stats,
     )
-    # wmetric carries the reference's +1-df quirk (Q3); the distributed
-    # path undoes it (bm25_idf(n, df - 1)), landing on the oracle's df
-    write_table(
-        tf.groupBy("term")
-        .agg((F.count(F.lit(1)) + 1).alias("df"))
-        .withColumn("idf", F.log(F.lit(float(n)) / F.col("df"))),
-        paths.wmetric,
-    )
+    # wmetric carries the reference's +1-df quirk (Q3) via the production
+    # builder — ONE definition of the quirk formula, not an inline copy —
+    # and the distributed path undoes it (bm25_idf(n, df - 1)), landing on
+    # the oracle's df
+    write_table(build_wmetric(tf, int(n)), paths.wmetric)
+    tf.unpersist()
     local = distributed_bm25_local_topk(
         spark, paths, BM25_QUERY_TEXT, k=10, n_ranges=_DIST_RANGES
     )

@@ -70,8 +70,13 @@ AUDIT: list[tuple[str, list[str], list[str]]] = [
     ("text_quality", ["ReadSchema: struct<doc_id:bigint,text:string>"], ["Exchange"]),
     # token stats + fingerprint (compound entry): each constituent is a
     # map-only projection; the compound's doc_id equi-join is verification
-    # scaffolding and must stay a hash/broadcast join, never a cartesian
-    ("text_tokens_fingerprint", ["ReadSchema: struct<doc_id:bigint,text:string>"], []),
+    # scaffolding and must stay a broadcast join (cartesian is globally
+    # forbidden; a SortMergeJoin would shuffle both map-only sides)
+    (
+        "text_tokens_fingerprint",
+        ["ReadSchema: struct<doc_id:bigint,text:string>", "BroadcastHashJoin"],
+        ["SortMergeJoin"],
+    ),
     # end-to-end curation: ONE scan computes every signal and ONE
     # hash-partitioned exchange (the fingerprint window) dedups — the
     # COUNT_RULES row makes "one scan + one shuffle" a checked claim,
@@ -110,6 +115,13 @@ GLOBAL_FORBIDDEN = ["CartesianProduct"]
 COUNT_RULES: dict[str, dict[str, int]] = {
     # one scan + one shuffle, as the curate docstring claims
     "corpus_curate_pipeline": {"Scan parquet": 2, "Exchange": 2},
+    # the band self-join must read the persisted band table CO-PARTITIONED
+    # on its (band, sig) join keys: the only band-keyed exchange allowed is
+    # the explicit repartition inside the cached plan (printed once per AQE
+    # initial/final section = 2).  If EnsureRequirements ever reinserts
+    # join-side band exchanges (the 2×204 MB shape the repartition+persist
+    # removed), the count at least doubles and this rule fails.
+    "dedup_lsh_pairs": {"hashpartitioning(band": 2},
 }
 
 _SPECIAL_CACHE: dict[str, object] = {}

@@ -2,6 +2,8 @@
 (all five scanline filters), WAV PCM round-trip, schemas, batch shapes,
 and determinism; only video decode remains a gated stub."""
 
+import struct
+
 import numpy as np
 import pytest
 
@@ -276,6 +278,37 @@ def test_avi_and_jpeg_truncation_fuzz():
     # sanity: the sweep exercised both outcomes (some cuts decode — e.g.
     # losing only the EOI — most raise)
     assert ok < len(range(2, len(enc), 3))
+
+
+def test_avi_meta_inflated_size_fields_raise_valueerror():
+    """Corruption twin of the truncation sweep: a size FIELD that lies
+    (inflated past the payload) while the RIFF size stays honest must
+    raise the normalized ValueError from ``avi_meta`` — before the
+    guards, an inflated hdrl LIST size walked the inner loop past the
+    buffer and leaked a raw ``struct.error`` from a short slice."""
+    from holi_search_engine_spark.functions.mjpeg import (
+        avi_encode_frames,
+        avi_meta,
+        jpeg_encode,
+    )
+
+    img = np.zeros((8, 8), dtype=np.uint8)
+    avi = avi_encode_frames([jpeg_encode(img)], 8, 8, fps=1)
+
+    # inflate the hdrl LIST's own size: inner walk would overrun len(data)
+    i = avi.find(b"LIST")
+    assert i >= 0 and avi[i + 8:i + 12] == b"hdrl"
+    bad = bytearray(avi)
+    bad[i + 4:i + 8] = struct.pack("<I", 0xFFFFFF00)
+    with pytest.raises(ValueError):
+        avi_meta(bytes(bad))
+
+    # inflate an inner header chunk's size (avih): overruns its parent LIST
+    j = avi.find(b"avih")
+    bad = bytearray(avi)
+    bad[j + 4:j + 8] = struct.pack("<I", 0xFFFFFF00)
+    with pytest.raises(ValueError):
+        avi_meta(bytes(bad))
 
 
 def test_jpeg_rejects_progressive():
