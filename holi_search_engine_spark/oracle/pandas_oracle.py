@@ -263,7 +263,12 @@ def search(
             idf = index.wmetric.get(w, (0, 0.0))[1]  # Q8: absent → 0
             num = c.word2tf.get(w)
             wf = (num / den) if (num is not None and den) else 0.0
-            weight += qtf * (idf ** 1.5) * wf
+            # Java Math.pow: negative base ^ fractional exponent is NaN
+            # (reachable — Q3's df+1 gives a corpus-ubiquitous term
+            # idf = ln(n/(n+1)) < 0); Python ** would return a complex
+            # and break the final score sort
+            idf_pow = idf ** 1.5 if idf >= 0.0 else float("nan")
+            weight += qtf * idf_pow * wf
         c.tf_idf_weight = weight
     # step 10: final sort (normalized tie-break on doc key)
     arr.sort(key=lambda c: (-c.score(), c.doc))

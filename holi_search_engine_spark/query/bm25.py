@@ -19,7 +19,6 @@ to brute force — ``tests/test_bm25.py`` asserts doc-and-score equality.
 from __future__ import annotations
 
 import math
-import re
 
 import numpy as np
 import pandas as pd
@@ -32,10 +31,9 @@ from ..plans.compression import (
     doc_key_expr,
     doc_key_to_cols,
 )
+from ..oracle.pandas_oracle import _RE_PUNCT  # ONE normalization alphabet
 from ..plans.index_build import IndexPaths, read_meta
 from ..sources.catalog import read_table
-
-_RE_PUNCT = re.compile(r"[.,:;!?'\"\(\)-]")
 
 
 def bm25_idf(n_docs: int, df: int) -> float:

@@ -33,6 +33,10 @@ from ..sources.catalog import read_table, table_exists
 from .ranker import EXPAND_THRESHOLD, TOP_CUT
 from .stopwords import STOPWORDS
 
+#: the oracle regex's pattern string, reused verbatim as a Java regex in
+#: regexp_replace (character class only — identical semantics)
+_PUNCT_PATTERN = _RE_PUNCT.pattern
+
 _DECODE_SCHEMA = "term string, doc_key long, tf double"
 
 
@@ -109,7 +113,10 @@ class DistributedRanker:
         hits = self._postings_df(words_sw).cache()
         cand = self._candidates(hits)
         n_cand = cand.count()
-        if n_cand < EXPAND_THRESHOLD:  # expansion branch (Q4 stemming is ∅)
+        # expansion branch (Q4 stemming is ∅); skipped when no stopword
+        # was removed — the expanded term list is identical, and re-running
+        # would pay a second postings job + count() for the same frame
+        if n_cand < EXPAND_THRESHOLD and words_sw != words_set_order:
             hits.unpersist()
             hits = self._postings_df(words_set_order).cache()
             cand = self._candidates(hits)
@@ -127,39 +134,64 @@ class DistributedRanker:
         word_count: dict[str, int] = {}
         for w in words:
             word_count[w] = word_count.get(w, 0) + 1
-        wm = (
+        # idfs resolved driver-side in ONE pruned read (|query| rows) so
+        # qdf is a local literal frame — no join — and the Java NaN quirk
+        # below is decidable before the plan is built
+        wm_pdf = (
             read_table(self.spark, self.paths.wmetric)
             .where(F.col("term").isin(list(word_count)))
             .select("term", "idf")
+            .toPandas()
         )
+        idf_map = dict(zip(wm_pdf["term"], wm_pdf["idf"]))
         qdf = self.spark.createDataFrame(
-            [(t, c) for t, c in word_count.items()], "term string, qtf int"
-        ).join(wm, "term", "left").na.fill({"idf": 0.0})  # Q8: absent → 0
+            [(t, c, float(idf_map.get(t, 0.0))) for t, c in word_count.items()],
+            "term string, qtf int, idf double",  # Q8: absent → 0
+        )
+        # Ranker.java:249 accumulates qtf·pow(idf,1.5)·wf over EVERY query
+        # word for EVERY candidate, with wf = 0 when the word misses the
+        # doc — and Java's NaN·0.0 = NaN, so one negative-idf word (Q3:
+        # df == n gives ln(n/(n+1)) < 0) poisons every candidate's weight.
+        # The join below only sums MATCHED rows, so it must reproduce the
+        # poison explicitly to stay rank-identical to the engine/oracle.
+        nan_poison = any(
+            float(idf_map.get(t, 0.0)) < 0.0 for t in word_count
+        )
 
         # Q5: rows whose ord == first_ord contribute 0 (tf dropped)
+        weight_sum = F.sum(
+            F.when(F.col("ord") == F.col("first_ord"), F.lit(0.0)).otherwise(
+                F.col("qtf") * F.pow("idf", 1.5) * F.col("tf") / F.col("ntf")
+            )
+        )
         scored_hits = (
             cut.join(hits, "doc_key")
             .join(F.broadcast(qdf), "term")
             .join(ntf, "doc_key")
             .groupBy("doc_key")
-            .agg(
-                F.sum(
-                    F.when(F.col("ord") == F.col("first_ord"), F.lit(0.0)).otherwise(
-                        F.col("qtf") * F.pow("idf", 1.5) * F.col("tf") / F.col("ntf")
-                    )
-                ).alias("weight")
-            )
+            .agg(weight_sum.alias("weight"))
         )
         meta_df = read_table(self.spark, self.paths.doc_meta).select(
             key.alias("doc_key"), "title"
         )
         sw_set = list(dict.fromkeys(words_sw))
-        padded = F.concat(F.lit(" "), F.lower("title"), F.lit(" "))
-        ov = None
-        for t in sw_set:
-            hit = padded.contains(f" {t} ").cast("int")
-            ov = hit if ov is None else ov + hit
-        overlap = (ov.cast("double") / F.lit(len(sw_set))) if sw_set else F.lit(0.0)
+        # token-set overlap with the ENGINE's tokenization (punctuation →
+        # space, split on any whitespace): the previous ' term '-substring
+        # probe missed punctuation-adjacent and tab-separated title words
+        # ('Hello, world' ∌ ' hello '), diverging from RankerEngine/the
+        # pandas oracle on exactly the titles the kw bonus is for
+        title_toks = F.array_distinct(
+            F.split(
+                F.trim(F.regexp_replace(F.lower("title"), _PUNCT_PATTERN, " ")),
+                r"\s+",
+            )
+        )
+        n_overlap = F.size(
+            F.array_intersect(title_toks, F.array(*[F.lit(t) for t in sw_set]))
+        )
+        overlap = (
+            (n_overlap.cast("double") / F.lit(len(sw_set))) if sw_set else F.lit(0.0)
+        )
         kw = (
             F.when(F.col("title").contains(query), F.lit(10.0))
             .when(overlap >= 0.6, overlap * 10)
@@ -179,14 +211,18 @@ class DistributedRanker:
             base = base.join(pr, "doc_key", "left").na.fill({"page_rank": 0.0})
         else:
             base = base.withColumn("page_rank", F.lit(0.0))
+        # Java NaN quirk: applied HERE so it reaches every candidate,
+        # including ones the scored-hits join lost (absent ntf row → the
+        # left join's 0.0 fill) — Java NaN-poisons those too
+        weight_col = F.lit(float("nan")) if nan_poison else F.col("weight")
         result = (
             base.select(
                 "doc_key",
                 "occurrence",
-                F.col("weight").alias("tf_idf_weight"),
+                weight_col.alias("tf_idf_weight"),
                 "page_rank",
                 kw.alias("keyword_match"),
-                (3 * F.col("weight") + 0.75 * F.col("page_rank") + kw).alias("score"),
+                (3 * weight_col + 0.75 * F.col("page_rank") + kw).alias("score"),
             )
             .orderBy(F.col("score").desc(), "doc_key")
         )
@@ -194,9 +230,6 @@ class DistributedRanker:
             result = result.limit(limit)
         pdf = result.toPandas()
         hits.unpersist()
-        from ..plans.compression import doc_key_to_cols
-        import numpy as np
-
         keys = pdf["doc_key"].to_numpy(dtype=np.int64)
         out = doc_key_to_cols(keys, self.doc_cols)
         return pd.concat([out.reset_index(drop=True), pdf.reset_index(drop=True)], axis=1)

@@ -195,14 +195,23 @@ class RankerEngine:
         )
 
     def _idf(self, term: str) -> float:
+        return self._idfs([term])[term]
+
+    def _idfs(self, terms: list[str]) -> dict[str, float]:
+        """idf per term, Q8 (absent → 0).  Degraded (non-preloaded) mode
+        batches ALL query terms into ONE term-pruned wmetric read — a
+        per-term read paid one ~100 ms Spark job per query word per query
+        inside the scoring loop (``BM25Engine._ensure_terms`` batches for
+        the same reason)."""
         if self._wmetric is not None:
-            return float(self._wmetric.get(term, 0.0))  # Q8
+            return {t: float(self._wmetric.get(t, 0.0)) for t in terms}
         pdf = (
             read_table(self.spark, self.paths.wmetric)
-            .where(F.col("term") == term)
+            .where(F.col("term").isin(terms))
             .toPandas()
         )
-        return float(pdf["idf"].iloc[0]) if len(pdf) else 0.0
+        got = dict(zip(pdf["term"], pdf["idf"]))
+        return {t: float(got.get(t, 0.0)) for t in terms}
 
     def _keyed_rows(self, path: str, keys: np.ndarray, *cols: str) -> pd.DataFrame:
         """Pruned per-candidate read: filter on the leading doc column (a
@@ -275,8 +284,12 @@ class RankerEngine:
         """Union of postings in Java-HashSet term order; implements Q5 (the
         first term hitting a doc does not record its tf).
 
-        Returns columns: doc_key, occurrence, plus one tf column per term
-        (NaN where unmatched or Q5-dropped).
+        Returns columns: doc_key, occurrence, plus one ``tf:<term>`` column
+        per term (NaN where unmatched or Q5-dropped).  The ``tf:`` prefix
+        namespaces term columns away from doc_key/occurrence — ':' is in
+        the tokenizer's punctuation alphabet, so no indexed term contains
+        it; without the prefix a query word literally named "occurrence"
+        overwrote the match counts the pre-rank cut sorts on.
         """
         key_arrays: list[np.ndarray] = []
         tf_arrays: list[np.ndarray] = []
@@ -316,7 +329,7 @@ class RankerEngine:
             col[inv[off : off + n]] = tfs
             # Q5: the earliest term (HashSet order) to hit a doc drops its tf
             col[first == o] = np.nan
-            out[term] = col
+            out["tf:" + term] = col
             off += n
         return pd.DataFrame(out)
 
@@ -333,8 +346,10 @@ class RankerEngine:
         if not words_sw:
             words_sw = removed
         cands = self._candidates(words_sw)
-        # expansion (Q4 makes the stemmed branch a no-op)
-        if len(cands) < EXPAND_THRESHOLD:
+        # expansion (Q4 makes the stemmed branch a no-op); when no
+        # stopword was removed the expanded term list is identical, so
+        # re-running candidate generation would recompute the same frame
+        if len(cands) < EXPAND_THRESHOLD and words_sw != words_set_order:
             cands = self._candidates(words_set_order)
         if not len(cands):
             return self._empty_result()
@@ -352,35 +367,40 @@ class RankerEngine:
         for w in words:
             word_count[w] = word_count.get(w, 0) + 1
         weight = np.zeros(len(cands), dtype=np.float64)
+        idfs = self._idfs(list(word_count))
         for w, qtf in word_count.items():
-            idf = self._idf(w)
-            if w in cands.columns:
-                tf = cands[w].to_numpy(dtype=np.float64)
+            idf = idfs[w]
+            # Java Math.pow semantics (Ranker.java:249 / the distributed
+            # twin's F.pow): negative base with fractional exponent is NaN.
+            # Python float ** returns a complex here, which crashed the
+            # weight accumulation for any corpus-ubiquitous term (Q3's
+            # df+1 makes idf = ln(n/(n+1)) < 0 when df == n).
+            idf_pow = idf ** 1.5 if idf >= 0.0 else float("nan")
+            if "tf:" + w in cands.columns:
+                tf = cands["tf:" + w].to_numpy(dtype=np.float64)
             else:
                 tf = np.full(len(cands), np.nan)
             wf = np.where(np.isnan(tf) | (ntf == 0) | np.isnan(ntf), 0.0, tf / np.where(ntf == 0, 1, ntf))
-            weight += qtf * (idf ** 1.5) * wf
-        # title bonus (Ranker.java:211-230)
+            weight += qtf * idf_pow * wf
+        # title bonus (Ranker.java:211-230); words_sw is never empty here
+        # (the all-stopword query falls back to the removed words above)
         titles = self._titles_for(keys)
-        kw = np.zeros(len(cands), dtype=np.float64)
         exact = titles.str.contains(query, regex=False).to_numpy()
-        kw[exact] = 10.0
-        if words_sw:
-            sw_set = set(words_sw)
-            toksets = (
-                titles.str.replace(_RE_PUNCT, " ", regex=True)
-                .str.strip()
-                .str.lower()
-                .str.split()
-            )
-            overlap = np.array(
-                [
-                    (len(sw_set & set(t)) / len(sw_set)) if isinstance(t, list) else 0.0
-                    for t in toksets
-                ]
-            )
-            bonus = np.where((~exact) & (overlap >= 0.6), overlap * 10, 0.0)
-            kw = np.where(exact, 10.0, bonus)
+        sw_set = set(words_sw)
+        toksets = (
+            titles.str.replace(_RE_PUNCT, " ", regex=True)
+            .str.strip()
+            .str.lower()
+            .str.split()
+        )
+        overlap = np.array(
+            [
+                (len(sw_set & set(t)) / len(sw_set)) if isinstance(t, list) else 0.0
+                for t in toksets
+            ]
+        )
+        bonus = np.where((~exact) & (overlap >= 0.6), overlap * 10, 0.0)
+        kw = np.where(exact, 10.0, bonus)
         # static prior: 0.75·pagerank (Ranker.java:255); zeros unless the
         # optional pageranks artifact was built (build_reply_pagerank)
         page_rank = self._pagerank_for(keys)

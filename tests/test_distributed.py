@@ -184,3 +184,52 @@ def test_term_buckets_no_spark_job(built_index, spark):
     assert len(out) == 100
     assert all(0 <= b < dr.buckets for b in out.values())
     assert wall < 0.05, f"term->bucket took {wall * 1e3:.1f} ms for 100 terms"
+
+
+def test_distributed_keyword_match_punctuated_titles(spark, tmp_path_factory):
+    """The title keyword bonus must use the ENGINE's tokenization
+    (punctuation → space, any whitespace splits): before the fix the
+    distributed ranker probed ' term '-substrings in the raw lowered
+    title, so 'Hello, world ...' never matched term 'hello' and the two
+    modes scored the same doc differently."""
+    import numpy as np
+    import pandas as pd
+
+    from holi_search_engine_spark.plans.index_build import build_index
+    from holi_search_engine_spark.query.distributed import DistributedRanker
+    from holi_search_engine_spark.query.ranker import RankerEngine
+
+    texts = [
+        "hello, world greetings program",   # punctuation-adjacent title word
+        "hello world greetings exchange",   # clean twin
+        "world greetings only program",
+        "program exchange greetings",
+    ]
+    rows = [
+        (f"conv-{i:08d}", 0, "user", t, "", pd.Timestamp("2026-01-01"))
+        for i, t in enumerate(texts)
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    )
+    vocab = frozenset("hello world greetings program exchange only".split())
+    d = str(tmp_path_factory.mktemp("kw_idx"))
+    paths = build_index(spark, spark.createDataFrame(pdf), d, vocab, buckets=2)
+    eng = RankerEngine(spark, paths, preload=True)
+    dist = DistributedRanker(spark, paths)
+    # 'greetings' is in every doc, so its Q3 idf is negative: the third
+    # query also pins the Java NaN-poison parity (engine and distributed
+    # must BOTH yield NaN weights, not finite-vs-NaN)
+    for q in ("hello world", "hello", "world greetings program"):
+        exp = eng.search(q).sort_values("doc_key").reset_index(drop=True)
+        got = dist.search(q).sort_values("doc_key").reset_index(drop=True)
+        assert list(got["doc_key"]) == list(exp["doc_key"]), q
+        assert np.allclose(got["keyword_match"], exp["keyword_match"]), q
+        assert np.allclose(got["score"], exp["score"], atol=1e-9, equal_nan=True), q
+        assert np.allclose(
+            got["tf_idf_weight"], exp["tf_idf_weight"], atol=1e-9, equal_nan=True
+        ), q
+    # the punctuated title itself must earn the overlap bonus
+    full = eng.search("hello world")
+    kw_doc0 = float(full.loc[full["conv_id"] == "conv-00000000", "keyword_match"].iloc[0])
+    assert kw_doc0 >= 10.0  # both terms in the title (exact or full overlap)

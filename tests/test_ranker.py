@@ -222,3 +222,74 @@ def test_gson_dumps_non_string_keys():
     # json.dumps raises TypeError (Gson needs enableComplexMapKeySerialization)
     with pytest.raises(TypeError):
         gson_dumps({(1, 2): "tuple-key"})
+
+
+@pytest.fixture(scope="module")
+def edge_index(spark, tmp_path_factory):
+    """Tiny corpus with (a) a term literally named like the candidate
+    frame's bookkeeping columns ('occurrence') and (b) a term present in
+    EVERY doc, whose Q3 idf = ln(n/(n+1)) is negative."""
+    import pandas as pd
+
+    from holi_search_engine_spark.plans.index_build import build_index
+
+    texts = [
+        "occurrence rate of the signal occurrence here",
+        "rate of decay in the signal path",
+        "occurrence counts matter for the signal",
+        "the signal decay path matters",
+        "signal only here",
+    ]
+    rows = [
+        (f"conv-{i:08d}", 0, "user", t, "", pd.Timestamp("2026-01-01"))
+        for i, t in enumerate(texts)
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    )
+    vocab = frozenset(
+        "occurrence rate signal decay counts matter matters path only here".split()
+    )
+    d = str(tmp_path_factory.mktemp("edge_idx"))
+    paths = build_index(spark, pdf.pipe(spark.createDataFrame), d, vocab, buckets=2)
+    docs = [((r.conv_id, int(r.turn_idx)), r.text) for r in pdf.itertuples()]
+    return paths, O.build_index(docs, vocab)
+
+
+def test_query_word_colliding_with_result_columns(spark, edge_index):
+    """A query word literally named 'occurrence' (or 'doc_key') must not
+    overwrite the candidate frame's bookkeeping columns: before the tf:
+    column-namespace fix, the term's tf column replaced the match counts
+    the TOP_CUT pre-rank sorts on, scrambling candidates and returning a
+    garbage occurrence column."""
+    paths, oracle_idx = edge_index
+    eng = RankerEngine(spark, paths, preload=True)
+    for q in ("occurrence rate", "occurrence", "doc_key occurrence rate"):
+        got = eng.search(q)
+        exp = O.search(oracle_idx, q)
+        assert list(zip(got["conv_id"], got["turn_idx"])) == [c.doc for c in exp], q
+        for g, c in zip(got["score"], exp):
+            assert abs(g - c.score()) < 1e-9, q
+        for g, c in zip(got["occurrence"], exp):
+            assert int(g) == c.occurrence, q
+
+
+def test_negative_idf_scores_nan_like_java(spark, edge_index):
+    """'signal' is in every doc, so Q3 gives idf = ln(5/6) < 0.  Java
+    Math.pow(idf, 1.5) is NaN and the reference's weight accumulation
+    propagates it; Python ** returned a complex here and crashed the
+    engine (and broke the oracle's final sort).  Both twins must now
+    return NaN weights over the same candidate set."""
+    import math
+
+    paths, oracle_idx = edge_index
+    eng = RankerEngine(spark, paths, preload=True)
+    got = eng.search("signal decay")
+    exp = O.search(oracle_idx, "signal decay")
+    assert len(got) == len(exp) == 5
+    assert all(math.isnan(w) for w in got["tf_idf_weight"])
+    assert all(math.isnan(c.tf_idf_weight) for c in exp)
+    # NaN scores make the final ORDER unspecified in both engines; the
+    # candidate SET and the occurrence counts are still deterministic
+    assert set(zip(got["conv_id"], got["turn_idx"])) == {c.doc for c in exp}
+    assert sorted(got["occurrence"]) == sorted(c.occurrence for c in exp)
