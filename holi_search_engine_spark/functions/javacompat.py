@@ -10,6 +10,48 @@ the order exactly instead of waving it off as "nondeterministic".
 
 from __future__ import annotations
 
+import re
+
+import pandas as pd
+
+#: ``Ranker.java:152/223``'s punctuation class — the query/title
+#: normalization alphabet, canonical for every ENGINE path.  The pandas
+#: oracle keeps its own independent copy (``oracle/pandas_oracle.py``) so a
+#: bug here can't hide behind a shared constant; ``tests/test_ranker.py``
+#: asserts the two patterns stay equal.
+RE_QUERY_PUNCT = re.compile(r"[.,:;!?'\"\(\)-]")
+
+#: ``String.trim()`` strips chars <= U+0020 from both ends — NOT Unicode
+#: whitespace (NBSP survives), and MORE than Java regex ``\s`` (all control
+#: chars go).  Same class as a Java regex, for Spark ``regexp_replace``.
+_JAVA_TRIM_CHARS = "".join(chr(i) for i in range(0x21))
+JAVA_TRIM_PATTERN = r"^[\x00-\x20]+|[\x00-\x20]+$"
+
+#: Java regex ``\s`` is ASCII-only ``[ \t\n\x0B\f\r]`` (no
+#: UNICODE_CHARACTER_CLASS); Python's ``\s`` and ``str.split()`` are
+#: Unicode-aware, so the class is spelled out.
+_RE_JAVA_WS_RUN = re.compile(r"[ \t\n\x0b\f\r]+")
+
+
+def java_query_tokens(s: str) -> list[str]:
+    """``s.replaceAll(PUNCT, " ").trim().toLowerCase().split("\\s+")`` with
+    Java semantics throughout (``Ranker.java:152-153`` for the query,
+    ``:223`` for titles): trim strips chars <= U+0020; ``\\s`` is ASCII-only
+    so Unicode whitespace (NBSP, ideographic space) stays INSIDE tokens; an
+    empty post-trim string yields ``['']`` exactly as Java ``split`` does
+    (never ``[]`` — Java's ``words.length < 1`` guard is unreachable)."""
+    s = RE_QUERY_PUNCT.sub(" ", s)
+    s = s.strip(_JAVA_TRIM_CHARS).lower()
+    return _RE_JAVA_WS_RUN.split(s)
+
+
+def java_title_tokens(titles: pd.Series) -> pd.Series:
+    """Vectorized :func:`java_query_tokens` over a title column; returns a
+    Series of token lists (``['']`` for blank titles, as in Java)."""
+    s = titles.fillna("").str.replace(RE_QUERY_PUNCT, " ", regex=True)
+    s = s.str.strip(_JAVA_TRIM_CHARS).str.lower()
+    return s.str.split(_RE_JAVA_WS_RUN)
+
 
 def java_string_hash(s: str) -> int:
     """``String.hashCode()``: h = 31*h + c over UTF-16 code units, int32."""

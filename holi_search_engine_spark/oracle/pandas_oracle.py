@@ -44,6 +44,22 @@ _RE_NON_ASCII = re.compile(r"[^\x00-\x7f]")
 _RE_PUNCT_CTRL = re.compile(r"[.,:;!?'\"()\-\x00-\x1f\x7f]")
 
 
+def _java_query_tokens(s: str) -> list[str]:
+    """``s.replaceAll(punct, " ").trim().toLowerCase().split("\\s+")`` with
+    Java semantics (``Ranker.java:152-153`` query, ``:223`` title): trim
+    strips chars <= U+0020 only, and ``\\s`` is ASCII-only — Unicode
+    whitespace (NBSP etc.) stays INSIDE tokens; "" splits to ``['']``.
+    Loop-style and deliberately independent of the engine's
+    ``functions/javacompat.java_query_tokens``."""
+    s = _RE_PUNCT.sub(" ", s)
+    i, j = 0, len(s)
+    while i < j and s[i] <= "\x20":  # Java String.trim()
+        i += 1
+    while j > i and s[j - 1] <= "\x20":
+        j -= 1
+    return re.split(r"[ \t\n\x0b\f\r]+", s[i:j].lower())
+
+
 def trie_contains(word: str, dictionary: frozenset[str]) -> bool:
     """``Trie.containsWord`` (``jobs/Trie.java:141-152``), quirk Q7."""
     if word[0].isupper():
@@ -212,9 +228,9 @@ def search(
 ) -> list[Candidate]:
     """Ranker steps 1-11; returns the full ranked candidate list (the caller
     paginates 10/page as the reference does)."""
-    # step 1: normalize query
-    words = _RE_PUNCT.sub(" ", query).strip().lower().split()
-    if not words:
+    # step 1: normalize query (Java trim + ASCII-\s split; Ranker.java:152)
+    words = _java_query_tokens(query)
+    if not words:  # unreachable, like Java's words.length < 1 guard
         return []
     # Java: words_set = new HashSet<>(Arrays.asList(words))
     words_set_order = java_hashset_order(words, initial_from_collection=True)
@@ -251,7 +267,7 @@ def search(
         if query in title:
             c.keyword_match = 10.0
         else:
-            title_set = set(_RE_PUNCT.sub(" ", title).strip().lower().split())
+            title_set = set(_java_query_tokens(title))
             inter = set(words_sw) & title_set
             overlap = len(inter) / len(words_sw) if words_sw else 0.0
             if overlap >= 0.6:

@@ -31,7 +31,7 @@ from ..plans.compression import (
     doc_key_expr,
     doc_key_to_cols,
 )
-from ..oracle.pandas_oracle import _RE_PUNCT  # ONE normalization alphabet
+from ..functions.javacompat import RE_QUERY_PUNCT as _RE_PUNCT  # ONE alphabet
 from ..plans.index_build import IndexPaths, read_meta
 from ..sources.catalog import read_table
 

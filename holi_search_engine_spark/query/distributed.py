@@ -22,9 +22,13 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..functions.javacompat import java_hashset_order
+from ..functions.javacompat import (
+    JAVA_TRIM_PATTERN,
+    RE_QUERY_PUNCT as _RE_PUNCT,
+    java_hashset_order,
+    java_query_tokens,
+)
 from ..functions.xxhash import term_bucket
-from ..oracle.pandas_oracle import _RE_PUNCT
 import numpy as np
 
 from ..plans.compression import decode_block, doc_key_expr, doc_key_to_cols
@@ -33,7 +37,7 @@ from ..sources.catalog import read_table, table_exists
 from .ranker import EXPAND_THRESHOLD, TOP_CUT
 from .stopwords import STOPWORDS
 
-#: the oracle regex's pattern string, reused verbatim as a Java regex in
+#: the canonical pattern string, reused verbatim as a Java regex in
 #: regexp_replace (character class only — identical semantics)
 _PUNCT_PATTERN = _RE_PUNCT.pattern
 
@@ -101,8 +105,8 @@ class DistributedRanker:
         )
 
     def search(self, query: str, limit: int | None = None) -> pd.DataFrame:
-        words = _RE_PUNCT.sub(" ", query).strip().lower().split()
-        if not words:
+        words = java_query_tokens(query)  # Java trim + ASCII-\s split
+        if not words:  # unreachable, like Java's words.length < 1 guard
             return self._empty()
         words_set_order = java_hashset_order(words, initial_from_collection=True)
         words_sw = [w for w in words_set_order if w not in STOPWORDS]
@@ -144,47 +148,57 @@ class DistributedRanker:
             .toPandas()
         )
         idf_map = dict(zip(wm_pdf["term"], wm_pdf["idf"]))
-        qdf = self.spark.createDataFrame(
-            [(t, c, float(idf_map.get(t, 0.0))) for t, c in word_count.items()],
-            "term string, qtf int, idf double",  # Q8: absent → 0
-        )
         # Ranker.java:249 accumulates qtf·pow(idf,1.5)·wf over EVERY query
         # word for EVERY candidate, with wf = 0 when the word misses the
         # doc — and Java's NaN·0.0 = NaN, so one negative-idf word (Q3:
         # df == n gives ln(n/(n+1)) < 0) poisons every candidate's weight.
-        # The join below only sums MATCHED rows, so it must reproduce the
-        # poison explicitly to stay rank-identical to the engine/oracle.
         nan_poison = any(
             float(idf_map.get(t, 0.0)) < 0.0 for t in word_count
         )
-
-        # Q5: rows whose ord == first_ord contribute 0 (tf dropped)
-        weight_sum = F.sum(
-            F.when(F.col("ord") == F.col("first_ord"), F.lit(0.0)).otherwise(
-                F.col("qtf") * F.pow("idf", 1.5) * F.col("tf") / F.col("ntf")
+        if nan_poison:
+            # every weight is NaN regardless of the postings, so skip the
+            # plan's most expensive stage (the scoring joins + shuffle)
+            # entirely; NaN must reach every candidate, including ones the
+            # scoring join would have lost to an absent ntf row — Java
+            # poisons those too
+            base = cut.withColumn("weight", F.lit(float("nan")))
+        else:
+            qdf = self.spark.createDataFrame(
+                [(t, c, float(idf_map.get(t, 0.0))) for t, c in word_count.items()],
+                "term string, qtf int, idf double",  # Q8: absent → 0
             )
-        )
-        scored_hits = (
-            cut.join(hits, "doc_key")
-            .join(F.broadcast(qdf), "term")
-            .join(ntf, "doc_key")
-            .groupBy("doc_key")
-            .agg(weight_sum.alias("weight"))
-        )
+            # Q5: rows whose ord == first_ord contribute 0 (tf dropped)
+            weight_sum = F.sum(
+                F.when(F.col("ord") == F.col("first_ord"), F.lit(0.0)).otherwise(
+                    F.col("qtf") * F.pow("idf", 1.5) * F.col("tf") / F.col("ntf")
+                )
+            )
+            scored_hits = (
+                cut.join(hits, "doc_key")
+                .join(F.broadcast(qdf), "term")
+                .join(ntf, "doc_key")
+                .groupBy("doc_key")
+                .agg(weight_sum.alias("weight"))
+            )
+            base = cut.join(scored_hits, "doc_key", "left").na.fill({"weight": 0.0})
         meta_df = read_table(self.spark, self.paths.doc_meta).select(
             key.alias("doc_key"), "title"
         )
         sw_set = list(dict.fromkeys(words_sw))
-        # token-set overlap with the ENGINE's tokenization (punctuation →
-        # space, split on any whitespace): the previous ' term '-substring
-        # probe missed punctuation-adjacent and tab-separated title words
-        # ('Hello, world' ∌ ' hello '), diverging from RankerEngine/the
-        # pandas oracle on exactly the titles the kw bonus is for
-        title_toks = F.array_distinct(
-            F.split(
-                F.trim(F.regexp_replace(F.lower("title"), _PUNCT_PATTERN, " ")),
-                r"\s+",
-            )
+        # token-set overlap with the REFERENCE's tokenization
+        # (Ranker.java:223): punctuation → space, Java trim (chars <=
+        # U+0020), split on Java \s+ (ASCII-only — regexp_replace/split
+        # run Java regex on the JVM, so \s+ and the trim class are exact;
+        # array_intersect dedups, so no array_distinct is needed)
+        title_toks = F.split(
+            F.lower(
+                F.regexp_replace(
+                    F.regexp_replace("title", _PUNCT_PATTERN, " "),
+                    JAVA_TRIM_PATTERN,
+                    "",
+                )
+            ),
+            r"\s+",
         )
         n_overlap = F.size(
             F.array_intersect(title_toks, F.array(*[F.lit(t) for t in sw_set]))
@@ -197,11 +211,7 @@ class DistributedRanker:
             .when(overlap >= 0.6, overlap * 10)
             .otherwise(F.lit(0.0))
         )
-        base = (
-            cut.join(scored_hits, "doc_key", "left")
-            .na.fill({"weight": 0.0})
-            .join(meta_df, "doc_key", "left")
-        )
+        base = base.join(meta_df, "doc_key", "left")
         # static prior 0.75·pagerank (Ranker.java:255): per-candidate join
         # against the doc-keyed pageranks artifact when built, else 0
         if self._has_pagerank:
@@ -211,18 +221,14 @@ class DistributedRanker:
             base = base.join(pr, "doc_key", "left").na.fill({"page_rank": 0.0})
         else:
             base = base.withColumn("page_rank", F.lit(0.0))
-        # Java NaN quirk: applied HERE so it reaches every candidate,
-        # including ones the scored-hits join lost (absent ntf row → the
-        # left join's 0.0 fill) — Java NaN-poisons those too
-        weight_col = F.lit(float("nan")) if nan_poison else F.col("weight")
         result = (
             base.select(
                 "doc_key",
                 "occurrence",
-                weight_col.alias("tf_idf_weight"),
+                F.col("weight").alias("tf_idf_weight"),
                 "page_rank",
                 kw.alias("keyword_match"),
-                (3 * weight_col + 0.75 * F.col("page_rank") + kw).alias("score"),
+                (3 * F.col("weight") + 0.75 * F.col("page_rank") + kw).alias("score"),
             )
             .orderBy(F.col("score").desc(), "doc_key")
         )

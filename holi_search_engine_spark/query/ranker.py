@@ -33,7 +33,7 @@ import pandas as pd
 from pyspark.sql import SparkSession, functions as F
 
 from ..functions.javacompat import java_hashset_order
-from ..oracle.pandas_oracle import _RE_PUNCT  # same normalization regex
+from ..functions.javacompat import java_query_tokens, java_title_tokens
 from ..plans.compression import decode_block, doc_key_expr, doc_key_to_cols
 from ..plans.index_build import IndexPaths, artifact_nbytes, read_meta
 from ..sources.catalog import read_table, table_exists
@@ -194,9 +194,6 @@ class RankerEngine:
             np.concatenate([p[1] for p in parts]),
         )
 
-    def _idf(self, term: str) -> float:
-        return self._idfs([term])[term]
-
     def _idfs(self, terms: list[str]) -> dict[str, float]:
         """idf per term, Q8 (absent → 0).  Degraded (non-preloaded) mode
         batches ALL query terms into ONE term-pruned wmetric read — a
@@ -337,8 +334,8 @@ class RankerEngine:
         """Full ranked results (reference steps 1-11); ``limit`` truncates
         after ranking (pagination is a driver-side slice, as in the
         reference)."""
-        words = _RE_PUNCT.sub(" ", query).strip().lower().split()
-        if not words:
+        words = java_query_tokens(query)  # Java trim + ASCII-\s split
+        if not words:  # unreachable, like Java's words.length < 1 guard
             return self._empty_result()
         words_set_order = java_hashset_order(words, initial_from_collection=True)
         words_sw = [w for w in words_set_order if w not in STOPWORDS]
@@ -387,12 +384,7 @@ class RankerEngine:
         titles = self._titles_for(keys)
         exact = titles.str.contains(query, regex=False).to_numpy()
         sw_set = set(words_sw)
-        toksets = (
-            titles.str.replace(_RE_PUNCT, " ", regex=True)
-            .str.strip()
-            .str.lower()
-            .str.split()
-        )
+        toksets = java_title_tokens(titles)  # Ranker.java:223 semantics
         overlap = np.array(
             [
                 (len(sw_set & set(t)) / len(sw_set)) if isinstance(t, list) else 0.0

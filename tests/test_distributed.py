@@ -233,3 +233,75 @@ def test_distributed_keyword_match_punctuated_titles(spark, tmp_path_factory):
     full = eng.search("hello world")
     kw_doc0 = float(full.loc[full["conv_id"] == "conv-00000000", "keyword_match"].iloc[0])
     assert kw_doc0 >= 10.0  # both terms in the title (exact or full overlap)
+
+
+def test_unicode_whitespace_title_java_parity(spark, tmp_path_factory):
+    """Titles with NBSP or control characters follow JAVA tokenization in
+    all three implementations (oracle, engine, distributed): NBSP is not
+    whitespace to Java regex \\s, so 'hello\\u00a0world' stays ONE title
+    token and earns no overlap bonus, while edge control chars ARE trimmed
+    (String.trim strips <= U+0020) and the inner tab splits — that doc
+    still earns the bonus.  Python's Unicode-aware split()/strip() and
+    Spark's space-only F.trim each got one of these wrong before."""
+    import numpy as np
+    import pandas as pd
+
+    from holi_search_engine_spark.plans.index_build import build_index
+    from holi_search_engine_spark.query.ranker import RankerEngine
+
+    texts = [
+        "hello world greetings program",       # NBSP glues the pair
+        "\x01hello\tworld\x1f greetings extras",  # trim edges, split tab
+        "hello world greetings exchange",         # exact-substring match
+        "program exchange extras only",
+    ]
+    rows = [
+        (f"conv-{i:08d}", 0, "user", t, "", pd.Timestamp("2026-01-01"))
+        for i, t in enumerate(texts)
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    )
+    vocab = frozenset(
+        "hello world greetings program exchange extras only".split()
+    )
+    d = str(tmp_path_factory.mktemp("uws_idx"))
+    paths = build_index(spark, spark.createDataFrame(pdf), d, vocab, buckets=2)
+    docs = [((r.conv_id, int(r.turn_idx)), r.text) for r in pdf.itertuples()]
+    oracle_idx = O.build_index(docs, vocab)
+    eng = RankerEngine(spark, paths, preload=True)
+    dist = DistributedRanker(spark, paths)
+    for q in ("hello world", "hello world", "  \x01hello world\x1f "):
+        exp = O.search(oracle_idx, q)
+        got_e = eng.search(q).sort_values("doc_key").reset_index(drop=True)
+        got_d = dist.search(q).sort_values("doc_key").reset_index(drop=True)
+        assert len(got_e) == len(got_d) == len(exp), q
+        if not len(exp):
+            continue
+        exp_sorted = sorted(exp, key=lambda c: c.doc)
+        assert list(zip(got_e["conv_id"], got_e["turn_idx"])) == [
+            c.doc for c in exp_sorted
+        ], q
+        assert list(got_d["conv_id"]) == list(got_e["conv_id"]), q
+        assert np.allclose(
+            got_e["keyword_match"].astype(float),
+            [c.keyword_match for c in exp_sorted],
+        ), q
+        assert np.allclose(
+            got_d["keyword_match"].astype(float),
+            got_e["keyword_match"].astype(float),
+        ), q
+        assert np.allclose(
+            got_d["score"].astype(float),
+            got_e["score"].astype(float),
+            atol=1e-9,
+            equal_nan=True,
+        ), q
+    # an NBSP query is a single unindexed token -> no candidates anywhere
+    assert len(eng.search("hello world")) == 0
+    assert len(dist.search("hello world")) == 0
+    # pinned keyword bonuses for 'hello world' under Java tokenization:
+    full = eng.search("hello world").set_index("conv_id")["keyword_match"]
+    assert float(full.loc["conv-00000000"]) == 0.0   # NBSP: zero overlap
+    assert float(full.loc["conv-00000001"]) >= 10.0  # trimmed+split: full
+    assert float(full.loc["conv-00000002"]) == 10.0  # raw substring match

@@ -293,3 +293,38 @@ def test_negative_idf_scores_nan_like_java(spark, edge_index):
     # candidate SET and the occurrence counts are still deterministic
     assert set(zip(got["conv_id"], got["turn_idx"])) == {c.doc for c in exp}
     assert sorted(got["occurrence"]) == sorted(c.occurrence for c in exp)
+
+
+def test_java_query_tokens_semantics():
+    """Query/title normalization is Java-exact (Ranker.java:152/223):
+    String.trim() strips chars <= U+0020 only, and regex \\s is ASCII-only,
+    so Unicode whitespace (NBSP, ideographic space) stays INSIDE tokens —
+    Python's str.split()/str.strip() are Unicode-aware and would diverge
+    from the reference on exactly those titles."""
+    import pandas as pd
+
+    from holi_search_engine_spark.functions.javacompat import (
+        RE_QUERY_PUNCT,
+        java_query_tokens,
+        java_title_tokens,
+    )
+
+    cases = ["", "   ", "a,b", "Hello, world", "\x01Hi  there\x1f",
+             "x\ty\x0bz", "tab　wide", "A'B(C)D", "-edge.case-"]
+    for c in cases:
+        # the oracle's loop-style twin is an independent implementation;
+        # they must agree everywhere
+        assert java_query_tokens(c) == O._java_query_tokens(c), repr(c)
+    assert java_query_tokens("") == [""]  # Java "".split("\\s+") -> [""]
+    assert java_query_tokens("Hello, world") == ["hello", " world"]
+    assert java_query_tokens("\x01Hi  there\x1f") == ["hi", "there"]
+    assert java_query_tokens("tab　wide") == ["tab　wide"]
+    # vectorized title variant matches element-wise (None -> blank title)
+    s = pd.Series(cases + [None])
+    assert java_title_tokens(s).tolist() == [
+        java_query_tokens(c) for c in cases
+    ] + [[""]]
+    # drift guard: the engine and oracle punctuation alphabets are declared
+    # independently (sharing would let one bug hide both) but must stay
+    # textually identical; note re.compile's cache may intern the objects
+    assert RE_QUERY_PUNCT.pattern == O._RE_PUNCT.pattern
