@@ -39,9 +39,19 @@ def java_query_tokens(s: str) -> list[str]:
     ``:223`` for titles): trim strips chars <= U+0020; ``\\s`` is ASCII-only
     so Unicode whitespace (NBSP, ideographic space) stays INSIDE tokens; an
     empty post-trim string yields ``['']`` exactly as Java ``split`` does
-    (never ``[]`` — Java's ``words.length < 1`` guard is unreachable)."""
+    (never ``[]`` — Java's ``words.length < 1`` guard is unreachable).
+
+    One deliberate normalization: final-form sigma folds to ς→σ.  Java's
+    ``toLowerCase()`` applies a BreakIterator-conditioned final-sigma rule
+    that neither Python's ``str.lower()`` (never contextual) nor Spark's
+    ``lower()`` (strict UCD Final_Sigma) reproduces — three engines, three
+    behaviors (``tests/test_java_differential.py``).  Folding BOTH sides of
+    the query↔title overlap to σ makes all of this repo's implementations
+    agree AND matches Java whenever the query and title carry the same
+    Greek word in any sigma form (the common case, e.g. a typed 'καλός'
+    title vs an uppercase 'ΚΑΛΟΣ' query word)."""
     s = RE_QUERY_PUNCT.sub(" ", s)
-    s = s.strip(_JAVA_TRIM_CHARS).lower()
+    s = s.strip(_JAVA_TRIM_CHARS).lower().replace("ς", "σ")
     return _RE_JAVA_WS_RUN.split(s)
 
 
@@ -49,7 +59,7 @@ def java_title_tokens(titles: pd.Series) -> pd.Series:
     """Vectorized :func:`java_query_tokens` over a title column; returns a
     Series of token lists (``['']`` for blank titles, as in Java)."""
     s = titles.fillna("").str.replace(RE_QUERY_PUNCT, " ", regex=True)
-    s = s.str.strip(_JAVA_TRIM_CHARS).str.lower()
+    s = s.str.strip(_JAVA_TRIM_CHARS).str.lower().str.replace("ς", "σ")
     return s.str.split(_RE_JAVA_WS_RUN)
 
 

@@ -50,14 +50,17 @@ def _java_query_tokens(s: str) -> list[str]:
     strips chars <= U+0020 only, and ``\\s`` is ASCII-only — Unicode
     whitespace (NBSP etc.) stays INSIDE tokens; "" splits to ``['']``.
     Loop-style and deliberately independent of the engine's
-    ``functions/javacompat.java_query_tokens``."""
+    ``functions/javacompat.java_query_tokens``.  Final-form sigma folds
+    ς→σ — the deliberate normalization documented there (Java's
+    BreakIterator-conditioned final-sigma is not reproducible across
+    Python/Spark, so both sides of the overlap fold instead)."""
     s = _RE_PUNCT.sub(" ", s)
     i, j = 0, len(s)
     while i < j and s[i] <= "\x20":  # Java String.trim()
         i += 1
     while j > i and s[j - 1] <= "\x20":
         j -= 1
-    return re.split(r"[ \t\n\x0b\f\r]+", s[i:j].lower())
+    return re.split(r"[ \t\n\x0b\f\r]+", s[i:j].lower().replace("ς", "σ"))
 
 
 def trie_contains(word: str, dictionary: frozenset[str]) -> bool:

@@ -189,14 +189,21 @@ class DistributedRanker:
         # (Ranker.java:223): punctuation → space, Java trim (chars <=
         # U+0020), split on Java \s+ (ASCII-only — regexp_replace/split
         # run Java regex on the JVM, so \s+ and the trim class are exact;
-        # array_intersect dedups, so no array_distinct is needed)
+        # array_intersect dedups, so no array_distinct is needed).  ς→σ
+        # folds the final-sigma forms like java_query_tokens does on the
+        # query side (see functions/javacompat.py — Spark's lower() and
+        # Java's toLowerCase disagree on the contextual rule).
         title_toks = F.split(
-            F.lower(
-                F.regexp_replace(
-                    F.regexp_replace("title", _PUNCT_PATTERN, " "),
-                    JAVA_TRIM_PATTERN,
-                    "",
-                )
+            F.regexp_replace(
+                F.lower(
+                    F.regexp_replace(
+                        F.regexp_replace("title", _PUNCT_PATTERN, " "),
+                        JAVA_TRIM_PATTERN,
+                        "",
+                    )
+                ),
+                "ς",
+                "σ",
             ),
             r"\s+",
         )

@@ -254,6 +254,7 @@ def test_unicode_whitespace_title_java_parity(spark, tmp_path_factory):
         "\x01hello\tworld\x1f greetings extras",  # trim edges, split tab
         "hello world greetings exchange",         # exact-substring match
         "program exchange extras only",
+        "καλος hello greetings program",  # typed final-sigma title word
     ]
     rows = [
         (f"conv-{i:08d}", 0, "user", t, "", pd.Timestamp("2026-01-01"))
@@ -271,7 +272,7 @@ def test_unicode_whitespace_title_java_parity(spark, tmp_path_factory):
     oracle_idx = O.build_index(docs, vocab)
     eng = RankerEngine(spark, paths, preload=True)
     dist = DistributedRanker(spark, paths)
-    for q in ("hello world", "hello world", "  \x01hello world\x1f "):
+    for q in ("hello world", "hello world", "  \x01hello world\x1f ", "ΚΑΛΟΣ hello"):
         exp = O.search(oracle_idx, q)
         got_e = eng.search(q).sort_values("doc_key").reset_index(drop=True)
         got_d = dist.search(q).sort_values("doc_key").reset_index(drop=True)
@@ -305,3 +306,8 @@ def test_unicode_whitespace_title_java_parity(spark, tmp_path_factory):
     assert float(full.loc["conv-00000000"]) == 0.0   # NBSP: zero overlap
     assert float(full.loc["conv-00000001"]) >= 10.0  # trimmed+split: full
     assert float(full.loc["conv-00000002"]) == 10.0  # raw substring match
+    # sigma folding: the typed-final-sigma Greek title word must match the
+    # uppercase Greek query word, as Java's toLowerCase would (both sides
+    # fold to the medial form in this repo's three implementations)
+    greek = eng.search("ΚΑΛΟΣ hello").set_index("conv_id")["keyword_match"]
+    assert float(greek.loc["conv-00000004"]) == 10.0
