@@ -96,12 +96,16 @@ def java_hashset_order(items: list[str], initial_from_collection: bool = False) 
     in order (duplicates ignored).
 
     ``initial_from_collection=True`` models ``new HashSet<>(coll)`` which
-    presizes to ``max(16, size/0.75 + 1)`` (``HashSet.java``); otherwise the
-    default capacity 16 with doubling at load factor 0.75.  Java 8+ resize
-    preserves relative insertion order within each split bucket for
-    linked-list bins, so iterating buckets of the *final* table in insertion
-    order per bucket reproduces iteration exactly (bins under 8 entries,
-    i.e. every realistic query).
+    presizes to ``tableSizeFor(max(16, c.size()/0.75 + 1))`` where
+    ``c.size()`` is the RAW collection length INCLUDING duplicates
+    (``HashMap(Collection)`` sizes before deduplication — a query with a
+    repeated word gets a larger table than its distinct count suggests;
+    pinned against a real JVM in ``tests/test_java_differential.py``);
+    otherwise the default capacity 16 with doubling at load factor 0.75.
+    Java 8+ resize preserves relative insertion order within each split
+    bucket for linked-list bins, so iterating buckets of the *final* table
+    in insertion order per bucket reproduces iteration exactly (bins under
+    8 entries, i.e. every realistic query).
     """
     seen: list[str] = []
     seen_set: set[str] = set()
@@ -111,7 +115,8 @@ def java_hashset_order(items: list[str], initial_from_collection: bool = False) 
             seen_set.add(it)
     n = len(seen)
     if initial_from_collection:
-        cap = _table_size_for(max(16, int(n / 0.75) + 1))
+        # distinct n <= len(items) < cap*0.75, so no resize ever follows
+        cap = _table_size_for(max(16, int(len(items) / 0.75) + 1))
     else:
         cap = 16
         # default-capacity table doubles when size exceeds cap * 0.75
