@@ -231,3 +231,109 @@ def test_hashset_order_matches_compiled_java(tmp_path):
         assert parse(lines[2 * i + 1]) == java_hashset_order(
             c, initial_from_collection=False
         ), ("add", c)
+
+
+_JAVA_CLEAN_SRC = r"""
+import java.io.*;
+import java.nio.charset.StandardCharsets;
+import java.util.regex.*;
+
+// The reference indexer's five-stage cleaning chain, verbatim
+// (cis5550/jobs/Indexer.java:55-72).  Protocol: each stdin line is a
+// base64 page; prints "<after-stage-2 b64>|<after-stage-5 b64>" so the
+// Java-regex quirks (DOTALL vs default-dot line terminators, ASCII \s in
+// the tag-attribute group) are pinned before the alnum sweep hides them.
+public class RefClean {
+    public static void main(String[] args) throws Exception {
+        PrintStream out = new PrintStream(System.out, true, "UTF-8");
+        BufferedReader in = new BufferedReader(
+            new InputStreamReader(System.in, StandardCharsets.UTF_8));
+        java.util.Base64.Decoder dec = java.util.Base64.getDecoder();
+        java.util.Base64.Encoder enc = java.util.Base64.getEncoder();
+        Pattern msl = Pattern.compile(
+            "<(meta|script|link)(\\s[^>]*)?>.*?</(meta|script|link)>",
+            Pattern.CASE_INSENSITIVE | Pattern.DOTALL);
+        String line;
+        while ((line = in.readLine()) != null) {
+            String page = new String(dec.decode(line), StandardCharsets.UTF_8);
+            page = msl.matcher(page).replaceAll(" ");
+            page = page.replaceAll("<.*?>", " ");
+            String mid = page;
+            page = page.replaceAll("[.,:;!?'\"\\(\\)-]", " ");
+            page = page.replaceAll("[^a-zA-Z0-9]", " ");
+            page = page.replaceAll("[^\\p{ASCII}]", " ");
+            out.println(enc.encodeToString(mid.getBytes(StandardCharsets.UTF_8))
+                + "|" + enc.encodeToString(page.getBytes(StandardCharsets.UTF_8)));
+        }
+    }
+}
+"""
+
+
+def _clean_cases() -> list[str]:
+    rng = random.Random(11)
+    # Java default-dot excludes exactly these five line terminators;
+    # U+2028/29 and NEL are where Python non-DOTALL dot (only \n) differs
+    terms = ["\n", "\r", "\u0085", "\u2028", "\u2029"]
+    cases = [
+        "<script>drop me</script>kept",
+        "<SCRIPT a=b>x</LINK>kept",          # cross-closing tag names match
+        "<script\nsrc=x>gone</script>ok",    # DOTALL: attr spans a newline
+        "<div\nclass=x>stay",                # stage 2 dot can't cross \n
+        "<div\u2028c>stay",                  # ...nor U+2028
+        "<meta\u00a0x>body</meta>",          # NBSP isn't Java \s: no attr group
+        "a<b>c<d>e",
+        "<notag", "tag>", "<>", "< >",
+        "plain text, with. punct!",
+    ]
+    for t in terms:
+        cases.append(f"<meta x>{t}multi{t}line</meta>tail")
+        cases.append(f"<div{t}attr=1>visible{t}text")
+    alphabet = list("<>/abMETAscriptlink =x.'\"-09") + terms + ["\u00a0", "\u4e2d"]
+    for _ in range(500):
+        n = rng.randint(0, 30)
+        cases.append("".join(rng.choice(alphabet) for _ in range(n)))
+    return cases
+
+
+@pytest.mark.skipif(
+    shutil.which("javac") is None or shutil.which("java") is None,
+    reason="no JDK in this environment",
+)
+def test_clean_text_matches_compiled_java_indexer(tmp_path):
+    """functions/tokenizer.clean_text against the reference indexer's
+    actual replaceAll chain compiled on a real JVM — including the
+    intermediate state after the two tag-stripping stages, where the
+    Java-dot (excludes five line terminators) and ASCII-\\s quirks live
+    before the alphanumeric sweep would mask them."""
+    import pandas as pd
+
+    from holi_search_engine_spark.functions.tokenizer import (
+        RE_META_SCRIPT_LINK,
+        RE_TAG,
+        clean_text,
+    )
+
+    (tmp_path / "RefClean.java").write_text(_JAVA_CLEAN_SRC, encoding="utf-8")
+    subprocess.run(
+        ["javac", "RefClean.java"], cwd=tmp_path, check=True,
+        capture_output=True, timeout=120,
+    )
+    cases = _clean_cases()
+    payload = "\n".join(
+        base64.b64encode(c.encode()).decode() for c in cases
+    ) + "\n"
+    p = subprocess.run(
+        ["java", "-cp", str(tmp_path), "RefClean"],
+        input=payload.encode(), capture_output=True, timeout=120, check=True,
+    )
+    lines = p.stdout.decode().splitlines()
+    assert len(lines) == len(cases)
+    cleaned = clean_text(pd.Series(cases))
+    for c, out, got_final in zip(cases, lines, cleaned):
+        m, _, f = out.partition("|")
+        j_mid = base64.b64decode(m).decode()
+        j_final = base64.b64decode(f).decode()
+        p_mid = RE_TAG.sub(" ", RE_META_SCRIPT_LINK.sub(" ", c))
+        assert p_mid == j_mid, (repr(c), repr(p_mid), repr(j_mid))
+        assert got_final == j_final, (repr(c), repr(got_final), repr(j_final))
