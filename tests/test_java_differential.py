@@ -337,3 +337,144 @@ def test_clean_text_matches_compiled_java_indexer(tmp_path):
         p_mid = RE_TAG.sub(" ", RE_META_SCRIPT_LINK.sub(" ", c))
         assert p_mid == j_mid, (repr(c), repr(p_mid), repr(j_mid))
         assert got_final == j_final, (repr(c), repr(got_final), repr(j_final))
+
+
+_JAVA_STEM_DRIVER_SRC = r"""
+import java.io.*;
+import java.nio.charset.StandardCharsets;
+
+// Driver only — the Stemmer itself is the reference's own source file
+// (cis5550/ranker/Stemmer.java, the canonical public-domain Porter
+// release-4), compiled in place at test time.  Mirrors the indexer's
+// exact call sequence (Indexer.java:115-119): fresh Stemmer per word,
+// add(char[], length), stem(), toString().
+public class RefStemDriver {
+    public static void main(String[] args) throws Exception {
+        PrintStream out = new PrintStream(System.out, true, "UTF-8");
+        BufferedReader in = new BufferedReader(
+            new InputStreamReader(System.in, StandardCharsets.UTF_8));
+        java.util.Base64.Decoder dec = java.util.Base64.getDecoder();
+        java.util.Base64.Encoder enc = java.util.Base64.getEncoder();
+        String line;
+        while ((line = in.readLine()) != null) {
+            String w = new String(dec.decode(line), StandardCharsets.UTF_8);
+            cis5550.ranker.Stemmer s = new cis5550.ranker.Stemmer();
+            s.add(w.toCharArray(), w.length());
+            s.stem();
+            out.println(enc.encodeToString(
+                s.toString().getBytes(StandardCharsets.UTF_8)));
+        }
+    }
+}
+"""
+
+_REF_STEMMER_JAVA = "/root/reference/src/cis5550/ranker/Stemmer.java"
+
+# Suffixes the six Porter steps actually dispatch on — random stems get
+# these appended so every rule fires many times.
+_PORTER_SUFFIXES = [
+    "sses", "ies", "ss", "s", "eed", "ed", "ing", "at", "bl", "iz", "y",
+    "ational", "tional", "enci", "anci", "izer", "bli", "alli", "entli",
+    "eli", "ousli", "ization", "ation", "ator", "alism", "iveness",
+    "fulness", "ousness", "aliti", "iviti", "biliti", "logi", "icate",
+    "ative", "alize", "iciti", "ical", "ful", "ness", "al", "ance",
+    "ence", "er", "ic", "able", "ible", "ant", "ement", "ment", "ent",
+    "ion", "sion", "tion", "ou", "ism", "ate", "iti", "ous", "ive",
+    "ize", "e", "ll", "l",
+]
+
+
+def _stem_cases() -> list[str]:
+    rng = random.Random(17)
+    cases = [
+        # Bug-1 / Bug-2 triggers the reference file documents
+        "aed", "eed", "oed", "ion", "sion", "tion",
+        # classic Porter-paper vocabulary across all six steps
+        "caresses", "ponies", "ties", "caress", "cats", "feed", "agreed",
+        "plastered", "bled", "motoring", "sing", "conflated", "troubled",
+        "sized", "hopping", "tanned", "falling", "hissing", "fizzed",
+        "failing", "filing", "happy", "sky", "relational", "conditional",
+        "rational", "valenci", "hesitanci", "digitizer", "conformabli",
+        "radicalli", "differentli", "vileli", "analogousli",
+        "vietnamization", "predication", "operator", "feudalism",
+        "decisiveness", "hopefulness", "callousness", "formaliti",
+        "sensitiviti", "sensibiliti", "triplicate", "formative",
+        "formalize", "electriciti", "electrical", "hopeful", "goodness",
+        "revival", "allowance", "inference", "airliner", "gyroscopic",
+        "adjustable", "defensible", "irritant", "replacement",
+        "adjustment", "dependent", "adoption", "homologou", "communism",
+        "activate", "angulariti", "homologous", "effective", "bowdlerize",
+        "probate", "rate", "cease", "controll", "roll", "element",
+        "archaeology", "archaeological",
+        # length <= 2 bypasses every step (Stemmer.java k > 1 guard)
+        "", "a", "ab", "is", "ed", "s",
+        # Q6: the indexer stems digit-bearing tokens; digits are
+        # consonants via cons()'s default case
+        "2nd", "3ds", "a1ing", "x86ed", "123", "0ed", "b2b", "99s",
+        "windows95", "mp3s", "2000ies", "y2k", "4x4ed",
+        # 512-char token: the indexer's length cap admits exactly this
+        "b" + "a" * 508 + "ing",
+        # unreachable via the indexer's ASCII sweep, but pins that both
+        # sides treat BMP non-[aeiou] letters as consonants
+        "résumés", "naïvely", "中文ing",
+    ]
+    alphabet = "abcdefghijklmnopqrstuvwxyz0123456789"
+    for _ in range(700):
+        stem = "".join(
+            rng.choice(alphabet) for _ in range(rng.randint(0, 8))
+        )
+        word = stem + (rng.choice(_PORTER_SUFFIXES) if rng.random() < 0.85
+                       else "")
+        cases.append(word)
+    return cases
+
+
+@pytest.mark.skipif(
+    shutil.which("javac") is None or shutil.which("java") is None,
+    reason="no JDK in this environment",
+)
+@pytest.mark.skipif(
+    not __import__("os").path.exists(_REF_STEMMER_JAVA),
+    reason="reference tree not mounted",
+)
+def test_porter_stemmer_matches_compiled_java_reference(tmp_path):
+    """functions/stemmer against the reference's OWN Stemmer.java compiled
+    on a real JVM — the 'bug-exact transliteration' claim (SURVEY §2.5)
+    becomes evidence.  Inputs cover every step-3/4/5 dispatch suffix, the
+    Bug-1/Bug-2 words, digit-bearing tokens (quirk Q6), the 512-char
+    indexer cap, and 700 randomized stem+suffix compositions."""
+    import pandas as pd
+
+    from holi_search_engine_spark.functions.stemmer import (
+        stem_series,
+        stem_word,
+    )
+
+    (tmp_path / "RefStemDriver.java").write_text(
+        _JAVA_STEM_DRIVER_SRC, encoding="utf-8"
+    )
+    subprocess.run(
+        ["javac", "-d", str(tmp_path), "RefStemDriver.java",
+         _REF_STEMMER_JAVA],
+        cwd=tmp_path, check=True, capture_output=True, timeout=120,
+    )
+    cases = _stem_cases()
+    payload = "\n".join(
+        base64.b64encode(c.encode()).decode() for c in cases
+    ) + "\n"
+    p = subprocess.run(
+        ["java", "-cp", str(tmp_path), "RefStemDriver"],
+        input=payload.encode(), capture_output=True, timeout=120, check=True,
+    )
+    lines = p.stdout.decode().splitlines()
+    assert len(lines) == len(cases)
+    mismatches = []
+    for c, out in zip(cases, lines):
+        j_stem = base64.b64decode(out).decode()
+        p_stem = stem_word(c)
+        if p_stem != j_stem:
+            mismatches.append((repr(c), repr(p_stem), repr(j_stem)))
+    assert not mismatches, mismatches[:20]
+    # the vectorized batch path must agree with the scalar path
+    got = stem_series(pd.Series(cases, dtype=object))
+    assert list(got) == [stem_word(c) for c in cases]
