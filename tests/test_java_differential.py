@@ -478,3 +478,95 @@ def test_porter_stemmer_matches_compiled_java_reference(tmp_path):
     # the vectorized batch path must agree with the scalar path
     got = stem_series(pd.Series(cases, dtype=object))
     assert list(got) == [stem_word(c) for c in cases]
+
+
+_JAVA_HASH_DRIVER_SRC = r"""
+import java.io.*;
+import java.nio.charset.StandardCharsets;
+
+// Driver only — the hash itself is the reference's own source file
+// (cis5550/tools/Hasher.java), compiled in place at test time.
+public class RefHashDriver {
+    public static void main(String[] args) throws Exception {
+        PrintStream out = new PrintStream(System.out, true, "UTF-8");
+        BufferedReader in = new BufferedReader(
+            new InputStreamReader(System.in, StandardCharsets.UTF_8));
+        java.util.Base64.Decoder dec = java.util.Base64.getDecoder();
+        String line;
+        while ((line = in.readLine()) != null) {
+            String s = new String(dec.decode(line), StandardCharsets.UTF_8);
+            out.println(cis5550.tools.Hasher.hash(s));
+        }
+    }
+}
+"""
+
+_REF_HASHER_JAVA = "/root/reference/src/cis5550/tools/Hasher.java"
+
+
+@pytest.mark.skipif(
+    shutil.which("javac") is None or shutil.which("java") is None,
+    reason="no JDK in this environment",
+)
+@pytest.mark.skipif(
+    not __import__("os").path.exists(_REF_HASHER_JAVA),
+    reason="reference tree not mounted",
+)
+def test_row_key_hash_matches_compiled_java_reference(tmp_path):
+    """functions/hasher.hash_py against the reference's OWN Hasher.java
+    compiled on a real JVM — pins the signed-byte index quirk
+    (``(digest[i]>0) ? digest[i] : 255+digest[i]``) and the generated
+    256-entry alphabet against ground truth, across inputs chosen so every
+    digest byte value 0..255 (including 0 → index 255 and the 127/128
+    collision pair) occurs somewhere in the corpus."""
+    from holi_search_engine_spark.functions.hasher import hash_py
+
+    (tmp_path / "RefHashDriver.java").write_text(
+        _JAVA_HASH_DRIVER_SRC, encoding="utf-8"
+    )
+    subprocess.run(
+        ["javac", "-d", str(tmp_path), "RefHashDriver.java",
+         _REF_HASHER_JAVA],
+        cwd=tmp_path, check=True, capture_output=True, timeout=120,
+    )
+    rng = random.Random(23)
+    cases = [
+        "", "a", "0", "http://example.com/", "中文", "naïve",
+        "https://en.wikipedia.org/wiki/Main_Page",
+    ]
+    # the reference's own main() hashes ""+i for i<10000; sample that
+    cases += [str(i) for i in range(0, 10000, 97)]
+    cases += [
+        "".join(chr(rng.randint(32, 0x2FA0)) for _ in range(rng.randint(0, 40)))
+        for _ in range(400)
+    ]
+    # ensure full digest-byte coverage (0 and the 127/128 collision pair
+    # in particular) across the corpus
+    import hashlib
+
+    seen = set()
+    for c in cases:
+        seen.update(hashlib.sha1(c.encode("utf-8")).digest())
+    i = 0
+    while len(seen) < 256 and i < 200000:
+        c = f"probe-{i}"
+        d = hashlib.sha1(c.encode("utf-8")).digest()
+        if set(d) - seen:
+            seen.update(d)
+            cases.append(c)
+        i += 1
+    assert len(seen) == 256, f"digest byte coverage only {len(seen)}/256"
+    payload = "\n".join(
+        base64.b64encode(c.encode()).decode() for c in cases
+    ) + "\n"
+    p = subprocess.run(
+        ["java", "-cp", str(tmp_path), "RefHashDriver"],
+        input=payload.encode(), capture_output=True, timeout=120, check=True,
+    )
+    lines = p.stdout.decode().splitlines()
+    assert len(lines) == len(cases)
+    mismatches = [
+        (repr(c), hash_py(c), j) for c, j in zip(cases, lines)
+        if hash_py(c) != j
+    ]
+    assert not mismatches, mismatches[:10]
