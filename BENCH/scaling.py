@@ -310,6 +310,10 @@ def main() -> None:
     ap.add_argument("--gate-retries", type=int, default=10)
     ap.add_argument("--gate-wait", type=float, default=120.0)
     ap.add_argument("--no-gate", action="store_true")
+    ap.add_argument("--no-md", action="store_true",
+                    help="don't rewrite the BASELINE.md scaling block "
+                         "(for confirm runs that shouldn't displace the "
+                         "official artifact's prose)")
     args = ap.parse_args()
 
     results: dict[int, list[dict]] = {args.n: [], 4 * args.n: []}
@@ -385,12 +389,34 @@ def main() -> None:
     # unaffected — this floor applies only to the per-stage breakdown.)
     STAGE_WALL_FLOOR = 2.0  # seconds per leg
     CEIL_OF = {"stage_a": "tok", "doc_stats": "bw", "blocks": "bw", "wmetric": "bw"}
+    # doc_stats / blocks / wmetric run CONCURRENTLY over one executor pool
+    # (plans/index_build.py "independent readers of term_tf"), so each
+    # stage's individual wall is its submit→finish inside a contended
+    # region: whichever stage loses the scheduler lottery on one leg reads
+    # as "poor scaling" while a sibling reads as super-linear (r5 official
+    # run, pair 1: wmetric 0.414 vs doc_stats 1.342; pair 3: wmetric 0.146
+    # and doc_stats 0.489 in a pair whose WHOLE-BUILD efficiency was
+    # 0.926).  The trustworthy per-stage quantity for the region is its
+    # combined wall — all three start together, so region wall = max of
+    # the three — reported below as ``concurrent_region``; the individual
+    # rows stay (they locate real plan regressions when ALL pairs agree)
+    # but carry ``contention_coupled`` so a single-pair outlier is read as
+    # scheduler redistribution, not a regression.
+    CONCURRENT = ("doc_stats", "blocks", "wmetric")
+
+    def _stage_wall(res: dict, st: str):
+        if st == "concurrent_region":
+            walls = [res.get("stage_walls", {}).get(s) for s in CONCURRENT]
+            walls = [w for w in walls if w]
+            return max(walls) if walls else None
+        return res.get("stage_walls", {}).get(st)
+
     stage_rows = {}
-    for st, ceil_key in CEIL_OF.items():
+    for st, ceil_key in list(CEIL_OF.items()) + [("concurrent_region", "bw")]:
         effs, ceils, floored = [], [], 0
         for a, b in zip(results[args.n], results[4 * args.n]):
-            wa = a.get("stage_walls", {}).get(st)
-            wb = b.get("stage_walls", {}).get(st)
+            wa = _stage_wall(a, st)
+            wb = _stage_wall(b, st)
             if not wa or not wb or not a.get(ceil_key) or not b.get(ceil_key):
                 continue
             if min(wa, wb) < STAGE_WALL_FLOOR:
@@ -415,6 +441,9 @@ def main() -> None:
                 "pairs_below_wall_floor": floored,
                 "wall_floor_sec": STAGE_WALL_FLOOR,
             }
+        if st in CONCURRENT and st in stage_rows:
+            stage_rows[st]["contention_coupled"] = True
+            stage_rows[st]["coupled_with"] = [s for s in CONCURRENT if s != st]
 
     eff = statistics.median(pair_eff)
     norm_eff = statistics.median(pair_norm)
@@ -502,10 +531,16 @@ Each stage's N→4N efficiency is compared against the ceiling ITS kind of
 work achieved on this host during the same pinned pairs: stage A
 (tokenize, Python/Arrow CPU work) against the engine's own Spark-free
 tokenize kernel under multiprocessing; the JVM columnar stages against
-the measured streaming-bandwidth speedup of the shared memory bus
-(doc_stats runs concurrently with blocks by design — both legs run the
-identical shape, so the per-stage ratio holds).  "meets" = within 10% of
-the ceiling (median over pairs).  Stage legs under 2 s are excluded as
+the measured streaming-bandwidth speedup of the shared memory bus.
+doc_stats, blocks, and wmetric run CONCURRENTLY over one executor pool,
+so their individual walls are contention-coupled: one stage losing the
+scheduler lottery on a leg reads as poor scaling while a sibling reads
+super-linear, and the loser varies run to run.  The trustworthy number
+for that region is the ``concurrent_region`` row (region wall = max of
+the three, since all three start together); the individual coupled rows
+(marked †) locate real plan regressions only when every pair agrees.
+"meets" = within 10% of the ceiling (median over pairs).  Stage legs
+under 2 s are excluded as
 overhead-dominated (fixed job-submit/task-launch/manifest constants
 dominate a sub-2 s leg and its N/4N ratio measures overhead, not the
 plan; the count of such excluded pairs is shown per stage — the
@@ -518,7 +553,8 @@ whole-build efficiency above is unaffected):
 """
     stage_table = "\n".join(
         (
-            f"| {st} | {r['efficiency']:.3f} | {r['ceiling']:.3f} | "
+            f"| {st}{'†' if r.get('contention_coupled') else ''} | "
+            f"{r['efficiency']:.3f} | {r['ceiling']:.3f} | "
             f"{'yes' if r['meets_ceiling'] else 'NO'} | "
             f"{r.get('pairs_below_wall_floor', 0)} |"
             if "efficiency" in r
@@ -529,6 +565,8 @@ whole-build efficiency above is unaffected):
         for st, r in stage_rows.items()
     ) or "| (no stage data) | | | | |"
     block = block.replace("{stage_table}", stage_table)
+    if args.no_md:
+        return
     existing = ""
     if os.path.exists(md_path):
         existing = open(md_path).read()
