@@ -33,9 +33,13 @@ Reference semantics (cited file:line under /root/reference/):
     unroll it ``UNROLL`` times (6 — the reference crawler caps URL path
     depth at 5 slashes, ``jobs/URLExtractor.java:53``).
 
-Where the Java would *throw* (a base URL with no protocol reaching
-``getDefaultPort(null)`` NPEs on the switch), the SQL yields NULL — SQL
-cannot throw per-row; tests pin this documented divergence.
+Where the Java would *throw* (a base URL with no protocol NPEs at entry:
+``getDefaultPort(null)`` switches on null before the link is parsed), the
+SQL cannot throw per-row — it keeps evaluating and lets the NULL protocol
+propagate through concat: branches interpolating the base protocol/host
+yield NULL, branches that never touch them (absolute link, empty link →
+base echo) yield their normal result.  ``normalize_url_py`` reproduces
+the SQL's continuation exactly; tests pin this documented divergence.
 
 The same SQL text runs on Spark and DuckDB (only functions with identical
 semantics in both are used; every computed ``substr`` length is clamped
@@ -206,10 +210,20 @@ def _default_port_py(protocol: str | None) -> str | None:
 
 def normalize_url_py(base_url: str, link: str) -> str | None:
     """Transliteration of UrlNormalizer.normalize (jobs/UrlNormalizer.java:8-96),
-    dangling-else and all.  Raises TypeError where the Java NPEs."""
+    dangling-else and all.
+
+    Documented divergence (module docstring): a protocol-less base NPEs in
+    the Java at entry (``getDefaultPort(null)`` switches on null,
+    ``UrlNormalizer.java:17-19,88``) before the link is even parsed.  SQL
+    cannot throw per-row, so ``normalize_sql`` keeps evaluating and lets
+    the NULL protocol propagate: branches that interpolate the base
+    protocol/host yield NULL, branches that never touch them (absolute
+    link, empty-link → base echo) yield their normal result.  This twin
+    matches the SQL exactly — it is the differential oracle for the SQL
+    text, not for the Java throw."""
     protocol, host, port, _ = parse_url_py(base_url)
     if port is None:
-        port = _default_port_py(protocol)  # Java NPEs if protocol is None
+        port = _default_port_py(protocol)  # Java NPEs here if protocol is None
 
     l_protocol, l_host, l_port, l_path = parse_url_py(link)
     assert l_path is not None
@@ -235,6 +249,12 @@ def normalize_url_py(base_url: str, link: str) -> str | None:
         if l_port is None:
             l_port = _default_port_py(l_protocol)
         return f"{l_protocol}://{l_host}:{l_port}{l_path}"
+
+    # From here every branch interpolates the base protocol (and host); a
+    # None propagates to a NULL result, mirroring the SQL's concat-NULL
+    # semantics where the Java would already have NPE'd at entry.
+    if protocol is None:
+        return None
 
     if l_path.startswith("//"):
         return f"{protocol}:{l_path}"

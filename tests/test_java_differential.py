@@ -570,3 +570,130 @@ def test_row_key_hash_matches_compiled_java_reference(tmp_path):
         if hash_py(c) != j
     ]
     assert not mismatches, mismatches[:10]
+
+
+_JAVA_URL_DRIVER_SRC = r"""
+import java.io.*;
+import java.nio.charset.StandardCharsets;
+
+// Driver only — the parser and normalizer are the reference's own source
+// files (cis5550/tools/URLParser.java, cis5550/jobs/UrlNormalizer.java),
+// compiled in place at test time.  Each stdin line is
+// base64(base)|base64(link); output is "R|" + base64(result),
+// "N|" (Java returned null), or "T|<ExceptionClass>" (Java threw —
+// the protocol-less-base NPE path).
+public class RefUrlDriver {
+    public static void main(String[] args) throws Exception {
+        PrintStream out = new PrintStream(System.out, true, "UTF-8");
+        BufferedReader in = new BufferedReader(
+            new InputStreamReader(System.in, StandardCharsets.UTF_8));
+        java.util.Base64.Decoder dec = java.util.Base64.getDecoder();
+        java.util.Base64.Encoder enc = java.util.Base64.getEncoder();
+        String line;
+        while ((line = in.readLine()) != null) {
+            String[] parts = line.split("\\|", -1);
+            String base = new String(dec.decode(parts[0]), StandardCharsets.UTF_8);
+            String link = new String(dec.decode(parts[1]), StandardCharsets.UTF_8);
+            try {
+                String r = cis5550.jobs.UrlNormalizer.normalize(base, link);
+                if (r == null) out.println("N|");
+                else out.println("R|" + enc.encodeToString(
+                    r.getBytes(StandardCharsets.UTF_8)));
+            } catch (Throwable t) {
+                out.println("T|" + t.getClass().getSimpleName());
+            }
+        }
+    }
+}
+"""
+
+_REF_URLNORM_JAVA = "/root/reference/src/cis5550/jobs/UrlNormalizer.java"
+_REF_URLPARSER_JAVA = "/root/reference/src/cis5550/tools/URLParser.java"
+
+
+def _url_cases() -> list[tuple[str, str]]:
+    rng = random.Random(31)
+    bases = [
+        "http://h.ex/a/b.html", "https://h.ex:8443/a/", "ftp://h.ex/x",
+        "http://h.ex", "http://h.ex/", "h2://w/a/b/c/d.html",
+        "http://:80/p", "http://h.ex:/p",
+        # protocol-less: the Java NPEs at entry — pinned as T|NullPointerException
+        "foo", "relative/path", "//host.ex/p", "",
+    ]
+    links = [
+        "x.html", "/x.html", "../x", "../../x", "../../../../../x",
+        "//cdn.ex/y", "http://abs.ex/y", "https://abs.ex", "ftp://abs.ex/y",
+        "", "#", "x#y", "x.png", "x.png#f", "a.jpg", "b.jpeg", "c.gif",
+        "d.txt", "e.txt?q=1", ":", "::", "a:b/c", "http://h:81/p",
+        "//", "///", ".", "./x", "..", "../",
+    ]
+    cases = [(b, l) for b in bases for l in links]
+    segs = ["a", "b.html", "x.png", "..", ".", "y#z", "p:q"]
+    for _ in range(200):
+        b = rng.choice(bases)
+        l = "/".join(rng.choice(segs) for _ in range(rng.randint(0, 4)))
+        if rng.random() < 0.3:
+            l = "/" + l
+        cases.append((b, l))
+    return cases
+
+
+@pytest.mark.skipif(
+    shutil.which("javac") is None or shutil.which("java") is None,
+    reason="no JDK in this environment",
+)
+@pytest.mark.skipif(
+    not __import__("os").path.exists(_REF_URLNORM_JAVA),
+    reason="reference tree not mounted",
+)
+def test_url_normalize_matches_compiled_java_reference(tmp_path):
+    """functions/urltools.normalize_url_py against the reference's OWN
+    UrlNormalizer.java + URLParser.java compiled on a real JVM.  Where the
+    Java RETURNS (value or null) the twin must match bit-exactly —
+    dangling-else, extension-filter-before-fragment-strip, the literal
+    "null" port, the positional protocol slice, all of it.  Where the Java
+    THROWS, the throw must be exactly the documented protocol-less-base
+    NullPointerException (module docstring of urltools), and the twin must
+    yield the documented NULL-propagating continuation instead."""
+    from holi_search_engine_spark.functions.urltools import (
+        normalize_url_py,
+        parse_url_py,
+    )
+
+    (tmp_path / "RefUrlDriver.java").write_text(
+        _JAVA_URL_DRIVER_SRC, encoding="utf-8"
+    )
+    subprocess.run(
+        ["javac", "-d", str(tmp_path), "RefUrlDriver.java",
+         _REF_URLNORM_JAVA, _REF_URLPARSER_JAVA],
+        cwd=tmp_path, check=True, capture_output=True, timeout=120,
+    )
+    cases = _url_cases()
+    payload = "\n".join(
+        base64.b64encode(b.encode()).decode() + "|"
+        + base64.b64encode(l.encode()).decode()
+        for b, l in cases
+    ) + "\n"
+    p = subprocess.run(
+        ["java", "-cp", str(tmp_path), "RefUrlDriver"],
+        input=payload.encode(), capture_output=True, timeout=120, check=True,
+    )
+    lines = p.stdout.decode().splitlines()
+    assert len(lines) == len(cases)
+    mismatches = []
+    for (b, l), out in zip(cases, lines):
+        kind, _, rest = out.partition("|")
+        got = normalize_url_py(b, l)
+        if kind == "T":
+            # Java must throw ONLY on the documented path: base protocol
+            # absent → getDefaultPort(null) NPE at entry
+            if rest != "NullPointerException" or parse_url_py(b)[0] is not None:
+                mismatches.append((repr(b), repr(l), "unexpected throw", rest))
+        elif kind == "N":
+            if got is not None:
+                mismatches.append((repr(b), repr(l), repr(got), "null"))
+        else:
+            want = base64.b64decode(rest).decode()
+            if got != want:
+                mismatches.append((repr(b), repr(l), repr(got), repr(want)))
+    assert not mismatches, mismatches[:15]

@@ -92,8 +92,6 @@ def test_normalize_sql_matches_transliteration(spark):
     expected = {}
     for b in BASES:
         for l in LINKS:
-            # the transliteration raises where the Java NPEs (no such
-            # fixture rows here: every base has a protocol)
             expected[rid] = urltools.normalize_url_py(b, l)
             rows.append(f"SELECT {rid} AS doc_id, '{b}' AS base_url, '{l}' AS link")
             rid += 1
@@ -141,7 +139,11 @@ def test_normalize_sql_fuzz_seeded(spark):
         return "/" + "/".join(segs) if segs else "/"
 
     def rand_base():
-        p = rng.choice(protos[:3])  # base always has a protocol (Java NPEs otherwise)
+        if rng.random() < 0.12:
+            # protocol-less base: the Java NPEs at entry; both twins must
+            # agree on the documented NULL-propagating continuation
+            return rng.choice(["foo", "relative/path", "//host.ex/p", ""])
+        p = rng.choice(protos[:3])
         port = f":{rng.randint(1, 9999)}" if rng.random() < 0.3 else ""
         return f"{p}://host{rng.randint(0, 9)}.ex{port}{rand_path(rng.randint(0, 4))}"
 
