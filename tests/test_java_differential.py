@@ -697,3 +697,117 @@ def test_url_normalize_matches_compiled_java_reference(tmp_path):
             if got != want:
                 mismatches.append((repr(b), repr(l), repr(got), repr(want)))
     assert not mismatches, mismatches[:15]
+
+
+_JAVA_TRIE_DRIVER_SRC = r"""
+import java.io.*;
+import java.nio.charset.StandardCharsets;
+
+// Driver only — the trie is the reference's own source (cis5550/jobs/
+// Trie.java + TrieNode.java), compiled in place at test time.  argv[0] is
+// a dictionary file (fed to the reference's own buildTrie, which trims,
+// lowercases, and skips empty lines); each stdin line is a base64 token;
+// output is "1"/"0" for containsWord, or "T|<ExceptionClass>" if it threw
+// (the empty-token charAt(0) path the indexer guards against).
+public class RefTrieDriver {
+    public static void main(String[] args) throws Exception {
+        cis5550.jobs.Trie trie = new cis5550.jobs.Trie();
+        trie.buildTrie(args[0]);
+        PrintStream out = new PrintStream(System.out, true, "UTF-8");
+        BufferedReader in = new BufferedReader(
+            new InputStreamReader(System.in, StandardCharsets.UTF_8));
+        java.util.Base64.Decoder dec = java.util.Base64.getDecoder();
+        String line;
+        while ((line = in.readLine()) != null) {
+            String w = new String(dec.decode(line), StandardCharsets.UTF_8);
+            try {
+                out.println(trie.containsWord(w) ? "1" : "0");
+            } catch (Throwable t) {
+                out.println("T|" + t.getClass().getSimpleName());
+            }
+        }
+    }
+}
+"""
+
+_REF_TRIE_JAVA = "/root/reference/src/cis5550/jobs/Trie.java"
+_REF_TRIENODE_JAVA = "/root/reference/src/cis5550/jobs/TrieNode.java"
+
+
+@pytest.mark.skipif(
+    shutil.which("javac") is None or shutil.which("java") is None,
+    reason="no JDK in this environment",
+)
+@pytest.mark.skipif(
+    not __import__("os").path.exists(_REF_TRIE_JAVA),
+    reason="reference tree not mounted",
+)
+def test_accept_mask_matches_compiled_java_trie(tmp_path):
+    """functions/tokenizer.accept_mask against the reference's OWN
+    Trie.containsWord compiled on a real JVM (Trie.java:139-154): the
+    uppercase-first-char bypass (before the mixed check — 'A1b' is
+    accepted), mixed alpha+digit rejection, the <=4-char digit-bearing
+    acceptance, and the lowercase dictionary fallback, over the same
+    dictionary the engine's tests use (a sample of make_vocabulary plus
+    crafted entries run through buildTrie's own trim/lowercase)."""
+    import pandas as pd
+
+    from holi_search_engine_spark.corpus import make_vocabulary
+    from holi_search_engine_spark.functions.tokenizer import accept_mask
+
+    (tmp_path / "RefTrieDriver.java").write_text(
+        _JAVA_TRIE_DRIVER_SRC, encoding="utf-8"
+    )
+    subprocess.run(
+        ["javac", "-d", str(tmp_path), "RefTrieDriver.java",
+         _REF_TRIE_JAVA, _REF_TRIENODE_JAVA],
+        cwd=tmp_path, check=True, capture_output=True, timeout=120,
+    )
+    vocab = make_vocabulary()[:400] + ["zulu", "prefix", "prefixes"]
+    # buildTrie trims + lowercases lines and skips empties; give it raw
+    # lines that exercise that and hand accept_mask the normalized set
+    raw_lines = list(vocab) + ["  SpacedWord  ", "", "MiXeD", ""]
+    dict_file = tmp_path / "dict.txt"
+    dict_file.write_text("\n".join(raw_lines) + "\n", encoding="utf-8")
+    dictionary = frozenset(
+        l.strip().lower() for l in raw_lines if l.strip()
+    )
+
+    rng = random.Random(41)
+    cases = [
+        # uppercase first char bypasses everything — even mixed alnum
+        "Hello", "A1b", "Z9999999", "Qqqq", "X",
+        # mixed alpha+digit rejected (lowercase first)
+        "a1b", "x86", "mp3", "b2b", "a" * 10 + "1",
+        # digit-bearing, length <= 4 accepted; longer needs dictionary
+        "1", "42", "123", "1234", "12345", "99999",
+        # dictionary fallback is on the LOWERCASED query
+        "zulu", "ZULU", "zULU", "spacedword", "mixed", "prefix",
+        "prefixes", "prefixe", "zul", "zuluu", "notinvocab",
+        # the indexer guards empties before the call; pinned as a throw
+        "",
+    ]
+    cases += [rng.choice(vocab) for _ in range(80)]
+    alpha = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
+    cases += [
+        "".join(rng.choice(alpha) for _ in range(rng.randint(1, 10)))
+        for _ in range(300)
+    ]
+    payload = "\n".join(
+        base64.b64encode(c.encode()).decode() for c in cases
+    ) + "\n"
+    p = subprocess.run(
+        ["java", "-cp", str(tmp_path), "RefTrieDriver", str(dict_file)],
+        input=payload.encode(), capture_output=True, timeout=120, check=True,
+    )
+    lines = p.stdout.decode().splitlines()
+    assert len(lines) == len(cases)
+    got = accept_mask(pd.Series(cases, dtype=object), dictionary)
+    mismatches = []
+    for c, j, g in zip(cases, lines, got):
+        if c == "":
+            assert j == "T|StringIndexOutOfBoundsException", j
+            continue  # unreachable through the indexer's empty guard
+        if (j == "1") != bool(g):
+            mismatches.append((repr(c), j, bool(g)))
+    assert not mismatches, mismatches[:15]
