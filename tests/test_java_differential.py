@@ -811,3 +811,102 @@ def test_accept_mask_matches_compiled_java_trie(tmp_path):
         if (j == "1") != bool(g):
             mismatches.append((repr(c), j, bool(g)))
     assert not mismatches, mismatches[:15]
+
+
+_JAVA_CRAWLPROC_SRC = r"""
+import java.io.*;
+import java.nio.charset.StandardCharsets;
+import static java.lang.Math.min;
+
+// The reference CrawlProcess default title/snippet path, verbatim
+// (cis5550/ranker/CrawlProcess.java:49-52): tag strip, punct+control
+// strip, first-60 / first-300 caps.  Each stdin line is a base64 input;
+// output is base64(title) + "|" + base64(snippet).
+public class RefCrawlProc {
+    public static void main(String[] args) throws Exception {
+        PrintStream out = new PrintStream(System.out, true, "UTF-8");
+        BufferedReader in = new BufferedReader(
+            new InputStreamReader(System.in, StandardCharsets.UTF_8));
+        java.util.Base64.Decoder dec = java.util.Base64.getDecoder();
+        java.util.Base64.Encoder enc = java.util.Base64.getEncoder();
+        String line;
+        while ((line = in.readLine()) != null) {
+            String html_page = new String(dec.decode(line), StandardCharsets.UTF_8);
+            String default_text = html_page.replaceAll("\\<.*?\\>", " ")
+                    .replaceAll("[.,:;!?'\"()\\-\\p{Cntrl}]", " ");
+            String default_body = default_text.substring(0, min(default_text.length(), 300));
+            String default_title = default_text.substring(0, min(default_text.length(), 60));
+            out.println(enc.encodeToString(default_title.getBytes(StandardCharsets.UTF_8))
+                + "|" + enc.encodeToString(default_body.getBytes(StandardCharsets.UTF_8)));
+        }
+    }
+}
+"""
+
+
+def _crawlproc_cases() -> list[str]:
+    rng = random.Random(47)
+    ctrl = [chr(c) for c in range(0x00, 0x20)] + ["\x7f"]
+    cases = [
+        "<title>Hello</title><body>World, it's here.</body>",
+        "a<b>c" * 100,                        # caps bite mid-stream
+        "<div\nclass=x>dot can't cross LF",   # Java-dot excludes \n
+        "<div\u2028c>nor U+2028", "<div\u0085c>nor NEL",
+        # NEL/C1 controls are NOT POSIX Cntrl: they survive the strip
+        "keep\u0085nel\u009cc1",
+        "tab\tand\x00nul\x1funit\x7fdel",     # POSIX controls stripped
+        'plain text with (punct) - quotes "kept?"',
+        "", "<>", "< >", "<" * 50, ">" * 50,
+    ]
+    alphabet = list("<>/abTITLEbody =x.,'\"-()!?") + ctrl + [
+        "\n", "\u0085", "\u2028", "\u2029", " ", "\u4e2d"
+    ]
+    for _ in range(400):
+        n = rng.randint(0, 400)
+        cases.append("".join(rng.choice(alphabet) for _ in range(n)))
+    return cases
+
+
+@pytest.mark.skipif(
+    shutil.which("javac") is None or shutil.which("java") is None,
+    reason="no JDK in this environment",
+)
+def test_title_snippet_matches_compiled_java_crawlprocess(tmp_path):
+    """oracle.pandas_oracle.title_snippet against the reference
+    CrawlProcess default path compiled on a real JVM — pins the Java-dot
+    tag strip (excludes five line terminators), the POSIX ``\\p{Cntrl}``
+    class (C0 + DEL only; NEL and C1 controls survive), and the 60/300
+    caps.  BMP-only inputs: the caps count UTF-16 units in Java and code
+    points in Python/Spark, identical on the BMP; transcripts are the
+    input contract and carry no astral text (corpus.py)."""
+    from holi_search_engine_spark.oracle.pandas_oracle import title_snippet
+
+    (tmp_path / "RefCrawlProc.java").write_text(
+        _JAVA_CRAWLPROC_SRC, encoding="utf-8"
+    )
+    subprocess.run(
+        ["javac", "RefCrawlProc.java"], cwd=tmp_path, check=True,
+        capture_output=True, timeout=120,
+    )
+    cases = _crawlproc_cases()
+    payload = "\n".join(
+        base64.b64encode(c.encode()).decode() for c in cases
+    ) + "\n"
+    p = subprocess.run(
+        ["java", "-cp", str(tmp_path), "RefCrawlProc"],
+        input=payload.encode(), capture_output=True, timeout=120, check=True,
+    )
+    lines = p.stdout.decode().splitlines()
+    assert len(lines) == len(cases)
+    mismatches = []
+    for c, out in zip(cases, lines):
+        t64, _, s64 = out.partition("|")
+        j_title = base64.b64decode(t64).decode()
+        j_snip = base64.b64decode(s64).decode()
+        p_title, p_snip = title_snippet(c)
+        if (p_title, p_snip) != (j_title, j_snip):
+            mismatches.append(
+                (repr(c)[:80], repr(p_title), repr(j_title),
+                 repr(p_snip)[:80], repr(j_snip)[:80])
+            )
+    assert not mismatches, mismatches[:5]
