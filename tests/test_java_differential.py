@@ -617,6 +617,10 @@ def _url_cases() -> list[tuple[str, str]]:
         "http://h.ex/a/b.html", "https://h.ex:8443/a/", "ftp://h.ex/x",
         "http://h.ex", "http://h.ex/", "h2://w/a/b/c/d.html",
         "http://:80/p", "http://h.ex:/p",
+        # EMPTY-string protocol (non-null in Java): the positional slice
+        # substring(0, slashslash-1) drops whatever precedes "//", so both
+        # of these parse protocol == "" and render "://host:null/..."
+        "://h.ex/p", "x//h.ex/p",
         # protocol-less: the Java NPEs at entry — pinned as T|NullPointerException
         "foo", "relative/path", "//host.ex/p", "",
     ]
