@@ -16,6 +16,7 @@ split, full-casing like İ→i̇) must match bit-exactly.
 from __future__ import annotations
 
 import base64
+import os
 import random
 import shutil
 import subprocess
@@ -913,4 +914,229 @@ def test_title_snippet_matches_compiled_java_crawlprocess(tmp_path):
                 (repr(c)[:80], repr(p_title), repr(j_title),
                  repr(p_snip)[:80], repr(j_snip)[:80])
             )
+    assert not mismatches, mismatches[:5]
+
+
+_GSON_JAR = "/root/reference/lib/gson-2.10.1.jar"
+
+_JAVA_GSON_SRC = r"""
+import java.io.*;
+import java.nio.charset.StandardCharsets;
+import java.util.*;
+import com.google.gson.Gson;
+
+// The reference ranker's response-envelope POJOs, verbatim
+// (cis5550/ranker/Ranker.java:16-37), serialized by the EXACT library
+// the reference ships (lib/gson-2.10.1.jar) via `new Gson().toJson(sRR)`
+// (Ranker.java:277-278).  Protocol: the fixed map fixtures print first
+// (one "M|" + base64(json) line each, LinkedHashMap insertion order);
+// then every stdin line is a base64 JSON spec
+// {"results": [[title,url,page_head], ...] | null, "page": p,
+//  "totalPages": t} (nulls allowed anywhere), echoed back as
+// "E|" + base64(new Gson().toJson(sRR)).
+public class RefGson {
+    static class SearchResult {
+        String title;
+        String url;
+        String page_head;
+
+        public SearchResult() {
+            this.title = null;
+            this.url = null;
+            this.page_head = null;
+        }
+    }
+    static class SearchResultsResponse {
+        List<SearchResult> results;
+        int page;
+        int totalPages;
+
+        public SearchResultsResponse(List<SearchResult> results, int page, int totalPages) {
+            this.results = results;
+            this.page = page;
+            this.totalPages = totalPages;
+        }
+    }
+    static class Spec {
+        List<List<String>> results;
+        int page;
+        int totalPages;
+    }
+
+    public static void main(String[] args) throws Exception {
+        PrintStream out = new PrintStream(System.out, true, "UTF-8");
+        Gson gson = new Gson();
+        java.util.Base64.Decoder dec = java.util.Base64.getDecoder();
+        java.util.Base64.Encoder enc = java.util.Base64.getEncoder();
+
+        List<Map<Object, Object>> maps = new ArrayList<>();
+        Map<Object, Object> m1 = new LinkedHashMap<>();
+        m1.put(1, "a"); m1.put(2.5, "b"); maps.add(m1);
+        Map<Object, Object> m2 = new LinkedHashMap<>();
+        m2.put(true, 1); m2.put(null, 2); maps.add(m2);
+        Map<Object, Object> m3 = new LinkedHashMap<>();
+        m3.put(1.0, "x"); maps.add(m3);
+        Map<Object, Object> m4 = new LinkedHashMap<>();
+        m4.put("a<b", "c=d"); maps.add(m4);
+        Map<Object, Object> m5 = new LinkedHashMap<>();
+        m5.put("a b", "x'y z"); maps.add(m5);
+        Map<Object, Object> m6 = new LinkedHashMap<>();
+        m6.put("d", 2.5e-7); maps.add(m6);
+        Map<Object, Object> m7 = new LinkedHashMap<>();
+        m7.put("d", 1.0e20); maps.add(m7);
+        for (Map<Object, Object> m : maps)
+            out.println("M|" + enc.encodeToString(
+                gson.toJson(m).getBytes(StandardCharsets.UTF_8)));
+
+        BufferedReader in = new BufferedReader(
+            new InputStreamReader(System.in, StandardCharsets.UTF_8));
+        String line;
+        while ((line = in.readLine()) != null) {
+            String json = new String(dec.decode(line), StandardCharsets.UTF_8);
+            Spec spec = gson.fromJson(json, Spec.class);
+            List<SearchResult> urlList = null;
+            if (spec.results != null) {
+                urlList = new ArrayList<>();
+                for (List<String> r : spec.results) {
+                    SearchResult sR = new SearchResult();
+                    sR.title = r.get(0);
+                    sR.url = r.get(1);
+                    sR.page_head = r.get(2);
+                    urlList.add(sR);
+                }
+            }
+            SearchResultsResponse sRR =
+                new SearchResultsResponse(urlList, spec.page, spec.totalPages);
+            out.println("E|" + enc.encodeToString(
+                gson.toJson(sRR).getBytes(StandardCharsets.UTF_8)));
+        }
+    }
+}
+"""
+
+
+def _envelope_cases() -> list[dict]:
+    """Envelope specs: results rows are [title, url, page_head] with None
+    for a null Java field; ``results: None`` exercises a null list."""
+    rng = random.Random(53)
+    alphabet = list("ab<>&='\"\\/\t\n\r\b\f\x00\x01\x1f\x7f .:") + [
+        " ", " ", "é", "中", "\U0001f600", " ",
+    ]
+
+    def rs() -> str:
+        return "".join(
+            rng.choice(alphabet) for _ in range(rng.randint(0, 12))
+        )
+
+    cases: list[dict] = [
+        {"results": [], "page": 1, "totalPages": 0},
+        {"results": [[None, "conv-1:2", None]], "page": 1, "totalPages": 1},
+        {"results": [[None, None, None]], "page": -3,
+         "totalPages": 2147483647},
+        {"results": None, "page": 0, "totalPages": 0},
+    ]
+    for _ in range(200):
+        cases.append({
+            "results": [
+                [rs() if rng.random() < 0.8 else None for _ in range(3)]
+                for _ in range(rng.randint(0, 4))
+            ],
+            "page": rng.randint(-2, 99),
+            "totalPages": rng.randint(0, 99),
+        })
+    return cases
+
+
+def _envelope_py(spec: dict) -> dict:
+    """The paginate envelope shape (query/ranker.py): Gson declaration
+    order title, url, page_head with null fields omitted; a null results
+    list is likewise omitted (Gson skips null fields by default)."""
+    env: dict = {}
+    if spec["results"] is not None:
+        rows = []
+        for title, url, page_head in spec["results"]:
+            row: dict = {}
+            if title is not None:
+                row["title"] = title
+            if url is not None:
+                row["url"] = url
+            if page_head is not None:
+                row["page_head"] = page_head
+            rows.append(row)
+        env["results"] = rows
+    env["page"] = spec["page"]
+    env["totalPages"] = spec["totalPages"]
+    return env
+
+
+@pytest.mark.skipif(
+    shutil.which("javac") is None or shutil.which("java") is None,
+    reason="no JDK in this environment",
+)
+@pytest.mark.skipif(
+    not os.path.exists(_GSON_JAR),
+    reason="reference gson jar not present",
+)
+def test_gson_dumps_matches_real_gson(tmp_path):
+    """query.ranker.gson_dumps against the reference's own
+    gson-2.10.1.jar serializing the reference's own envelope POJOs — pins
+    compact separators, field-declaration order, null-field omission, the
+    HTML-safe ``< > & = '`` escapes, the unconditional U+2028/29 escapes
+    (in the name position too), control-char escaping (short escapes for
+    ``\\t \\b \\n \\r \\f``, ``\\u00xx`` otherwise, DEL unescaped),
+    UTF-8/astral passthrough, and MapTypeAdapter's ``String.valueOf``
+    stringification of primitive map keys.  Exotic doubles are pinned as
+    the documented BOUNDARY: Java ``Double.toString`` scientific notation
+    (``2.5E-7``, ``1.0E20``) differs from Python repr (``2.5e-07``,
+    ``1e+20``); the serving envelope is int/string-only so no production
+    value crosses it."""
+    import json
+
+    from holi_search_engine_spark.query.ranker import gson_dumps
+
+    (tmp_path / "RefGson.java").write_text(_JAVA_GSON_SRC, encoding="utf-8")
+    subprocess.run(
+        ["javac", "-cp", _GSON_JAR, "RefGson.java"], cwd=tmp_path,
+        check=True, capture_output=True, timeout=120,
+    )
+    specs = _envelope_cases()
+    payload = "\n".join(
+        base64.b64encode(
+            json.dumps(s, ensure_ascii=False).encode()
+        ).decode()
+        for s in specs
+    ) + "\n"
+    p = subprocess.run(
+        ["java", "-cp", f"{tmp_path}:{_GSON_JAR}", "RefGson"],
+        input=payload.encode(), capture_output=True, timeout=120,
+        check=True,
+    )
+    lines = p.stdout.decode().splitlines()
+    map_lines = [l for l in lines if l.startswith("M|")]
+    env_lines = [l for l in lines if l.startswith("E|")]
+    assert len(map_lines) == 7 and len(env_lines) == len(specs)
+    j_maps = [base64.b64decode(l[2:]).decode() for l in map_lines]
+
+    # parity domain: primitive map keys stringify identically
+    parity_maps = [
+        {1: "a", 2.5: "b"},
+        {True: 1, None: 2},
+        {1.0: "x"},
+        {"a<b": "c=d"},
+        {"a b": "x'y z"},
+    ]
+    for pm, jm in zip(parity_maps, j_maps):
+        assert gson_dumps(pm) == jm, (pm, jm)
+    # documented divergence: Java Double.toString scientific notation
+    assert j_maps[5] == '{"d":2.5E-7}'
+    assert gson_dumps({"d": 2.5e-7}) == '{"d":2.5e-07}'
+    assert j_maps[6] == '{"d":1.0E20}'
+    assert gson_dumps({"d": 1.0e20}) == '{"d":1e+20}'
+
+    mismatches = []
+    for spec, l in zip(specs, env_lines):
+        j = base64.b64decode(l[2:]).decode()
+        py = gson_dumps(_envelope_py(spec))
+        if py != j:
+            mismatches.append((repr(py)[:120], repr(j)[:120]))
     assert not mismatches, mismatches[:5]
