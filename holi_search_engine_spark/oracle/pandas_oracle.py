@@ -26,7 +26,7 @@ import re
 from dataclasses import dataclass, field
 from typing import Any
 
-from ..functions.javacompat import java_hashset_order
+from ..functions.javacompat import java_hashmap_value_order, java_hashset_order
 from ..functions.stemmer import stem_word
 from ..query.stopwords import STOPWORDS
 
@@ -278,7 +278,11 @@ def search(
         # step 9: TF-IDF weight
         weight = 0.0
         den = index.ntf.get(c.doc, 0.0)
-        for w, qtf in word_count.items():
+        # HashMap entrySet order (Ranker.java:232): float addition is
+        # non-associative, so the accumulation order is part of
+        # bit-exactness vs the compiled reference
+        for w in java_hashmap_value_order(list(word_count)):
+            qtf = word_count[w]
             idf = index.wmetric.get(w, (0, 0.0))[1]  # Q8: absent → 0
             num = c.word2tf.get(w)
             wf = (num / den) if (num is not None and den) else 0.0

@@ -124,7 +124,12 @@ def build_ntf(term_tf: DataFrame, doc_cols: list[str] | None = None) -> DataFram
     aggregation with map-side combine."""
     doc_cols = doc_cols or DOC_COLS
     return term_tf.groupBy(*doc_cols).agg(
-        F.pow(F.sum(F.col("tf").cast("double") * F.col("tf")), F.lit(0.25)).alias("ntf")
+        # nested sqrt, NOT pow(x, 0.25): Indexer.java:136-139 applies
+        # Math.sqrt twice, and the two correctly-rounded functions differ
+        # in the last ulp — sqrt∘sqrt is the bit-exact form (the tokenizer
+        # kernel's np.sqrt(np.sqrt(...)) matches it; IEEE-754 sqrt is
+        # correctly rounded in both numpy and the JVM)
+        F.sqrt(F.sqrt(F.sum(F.col("tf").cast("double") * F.col("tf")))).alias("ntf")
     )
 
 
@@ -577,7 +582,8 @@ def _build_index_inner(
             # instead of failing the resume
             key = ["doc_key"] if "doc_key" in tf_r.columns else doc_cols
             stats = tf_r.groupBy(*key).agg(
-                F.pow(F.sum(F.col("tf") * F.col("tf")), F.lit(0.25)).alias("ntf"),
+                # sqrt∘sqrt (bit-exact Indexer.java:136-139), not pow(·,¼)
+                F.sqrt(F.sqrt(F.sum(F.col("tf") * F.col("tf")))).alias("ntf"),
                 F.sum("tf").cast("long").alias("dl"),
             )
             if key == ["doc_key"]:

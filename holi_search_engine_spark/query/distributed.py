@@ -84,8 +84,11 @@ class DistributedRanker:
         return {t: term_bucket(t, self.buckets) for t in terms}
 
     def _postings_df(self, lookup_terms: list[str]) -> DataFrame:
-        """(term, ord, doc_key, tf) for the query terms, bucket-pruned."""
-        order = {t: i for i, t in enumerate(java_hashset_order(lookup_terms))}
+        """(term, ord, doc_key, tf) for the query terms, bucket-pruned.
+        ``lookup_terms`` must already be in the reference's iteration
+        order for this pass (see ``RankerEngine._candidates`` — the first
+        pass and the expansion pass bucket differently)."""
+        order = {t: i for i, t in enumerate(lookup_terms)}
         tb = self._term_buckets(list(order))
         blocks = (
             read_table(self.spark, self.paths.blocks)
@@ -114,13 +117,16 @@ class DistributedRanker:
         if not words_sw:
             words_sw = removed
 
-        hits = self._postings_df(words_sw).cache()
+        first_order = java_hashset_order(words_sw)
+        hits = self._postings_df(first_order).cache()
         cand = self._candidates(hits)
         n_cand = cand.count()
-        # expansion branch (Q4 stemming is ∅); skipped when no stopword
-        # was removed — the expanded term list is identical, and re-running
-        # would pay a second postings job + count() for the same frame
-        if n_cand < EXPAND_THRESHOLD and words_sw != words_set_order:
+        # expansion branch (Q4 stemming is ∅); skipped only when the
+        # re-run would iterate identically — the reference's second pass
+        # iterates words_set in COLLECTION-constructor bucket order, which
+        # can differ from the first pass's add-loop order at a capacity
+        # boundary (see RankerEngine.search), shifting the Q5 tf-drops
+        if n_cand < EXPAND_THRESHOLD and first_order != words_set_order:
             hits.unpersist()
             hits = self._postings_df(words_set_order).cache()
             cand = self._candidates(hits)

@@ -14,11 +14,9 @@ Two execution modes:
   the path a 10^12-turn corpus needs when a Zipf-head term's posting list
   exceeds driver memory (see ``search_distributed``).
 
-The early-exit: candidates are cut to the top 250 by occurrence with the
-normalized tie-break (doc key asc).  When every surviving candidate already
-matches all lookup terms, any later doc in doc-key order can only tie and
-lose the tie-break, so block streams can stop early — exact, not a
-heuristic (used in ``_candidates_early_exit``).
+Candidates are cut to the top 250 by occurrence with the normalized
+tie-break (doc key asc) before scoring, as in the reference
+(``Ranker.java:204-205``).
 """
 
 from __future__ import annotations
@@ -32,7 +30,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import SparkSession, functions as F
 
-from ..functions.javacompat import java_hashset_order
+from ..functions.javacompat import java_hashmap_value_order, java_hashset_order
 from ..functions.javacompat import java_query_tokens, java_title_tokens
 from ..plans.compression import decode_block, doc_key_expr, doc_key_to_cols
 from ..plans.index_build import IndexPaths, artifact_nbytes, read_meta
@@ -278,8 +276,15 @@ class RankerEngine:
     # ---------------------------------------------------------- search
 
     def _candidates(self, lookup_terms: list[str]) -> pd.DataFrame:
-        """Union of postings in Java-HashSet term order; implements Q5 (the
-        first term hitting a doc does not record its tf).
+        """Union of postings in the order GIVEN; implements Q5 (the first
+        term hitting a doc does not record its tf).  The caller supplies
+        the reference's iteration order — these differ per call site: the
+        first pass iterates a ``new HashSet<>()`` built by per-element
+        adds (default capacity 16), the expansion pass iterates
+        ``words_set``, a collection-constructed HashSet whose capacity is
+        sized from the RAW token count including duplicates
+        (``Ranker.java:156,176,192``) — so the same term set can iterate
+        differently in the two passes, shifting which term Q5-drops.
 
         Returns columns: doc_key, occurrence, plus one ``tf:<term>`` column
         per term (NaN where unmatched or Q5-dropped).  The ``tf:`` prefix
@@ -292,7 +297,7 @@ class RankerEngine:
         tf_arrays: list[np.ndarray] = []
         orders: list[int] = []
         terms_present: list[str] = []
-        for order, term in enumerate(java_hashset_order(lookup_terms)):
+        for order, term in enumerate(lookup_terms):
             keys, tfs = self._term_postings(term)
             if len(keys) == 0:
                 continue
@@ -342,11 +347,19 @@ class RankerEngine:
         removed = [w for w in words_set_order if w in STOPWORDS]
         if not words_sw:
             words_sw = removed
-        cands = self._candidates(words_sw)
-        # expansion (Q4 makes the stemmed branch a no-op); when no
-        # stopword was removed the expanded term list is identical, so
-        # re-running candidate generation would recompute the same frame
-        if len(cands) < EXPAND_THRESHOLD and words_sw != words_set_order:
+        first_order = java_hashset_order(words_sw)
+        cands = self._candidates(first_order)
+        # expansion (Q4 makes the stemmed branch a no-op).  The reference
+        # re-runs candidate generation over words_set whose ITERATION
+        # ORDER is the collection-constructor bucket order (capacity sized
+        # from the raw token count INCLUDING duplicates) — not the
+        # add-loop order the first pass used.  Skipping the re-run is
+        # sound only when the two orders coincide (the rebuilt map is then
+        # identical); a query whose duplicates push the raw length across
+        # a capacity boundary (e.g. 13+ raw tokens, <=12 distinct)
+        # iterates the re-run differently and shifts the Q5 tf-drops even
+        # when no stopword was removed.
+        if len(cands) < EXPAND_THRESHOLD and first_order != words_set_order:
             cands = self._candidates(words_set_order)
         if not len(cands):
             return self._empty_result()
@@ -365,7 +378,12 @@ class RankerEngine:
             word_count[w] = word_count.get(w, 0) + 1
         weight = np.zeros(len(cands), dtype=np.float64)
         idfs = self._idfs(list(word_count))
-        for w, qtf in word_count.items():
+        # Java accumulates over wordCount.entrySet() in HashMap bucket
+        # order (Ranker.java:232-249); float addition is non-associative,
+        # so the iteration order is part of bit-exactness (pinned against
+        # the compiled reference in tests/test_javadiff_scoring.py)
+        for w in java_hashmap_value_order(list(word_count)):
+            qtf = word_count[w]
             idf = idfs[w]
             # Java Math.pow semantics (Ranker.java:249 / the distributed
             # twin's F.pow): negative base with fractional exponent is NaN.

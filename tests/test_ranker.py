@@ -328,3 +328,82 @@ def test_java_query_tokens_semantics():
     # independently (sharing would let one bug hide both) but must stay
     # textually identical; note re.compile's cache may intern the objects
     assert RE_QUERY_PUNCT.pattern == O._RE_PUNCT.pattern
+
+
+@pytest.fixture(scope="module")
+def bucket_boundary_index(spark, tmp_path_factory):
+    """Corpus for the HashSet-capacity-boundary expansion quirk: the query
+    below has 17 raw tokens but only 9 distinct words, so the reference's
+    ``words_set`` (collection-constructed, capacity sized from the RAW
+    length -> table 32) iterates DIFFERENTLY from the first-pass
+    ``words_sw`` HashSet (element-wise adds, default capacity 16):
+    'iota' precedes 'epsilon' in the 32-bucket table, 'epsilon' precedes
+    'iota' in the 16-bucket one.  With < 50 candidates the reference
+    re-runs candidate generation over words_set (Ranker.java:190-192) even
+    though the term SET is unchanged, and the re-run's different first-hit
+    term shifts which tf Q5 drops on any doc matching both words."""
+    import pandas as pd
+
+    from holi_search_engine_spark.plans.index_build import build_index
+
+    texts = [
+        "epsilon iota iota",      # Q5 pivot: first-hit differs between orders
+        "zeta mu delta kappa",
+        "beta theta nu",
+        "kappa beta filler words",
+        "delta nu theta mu",
+        "filler only doc",
+    ]
+    rows = [
+        (f"conv-{i:08d}", 0, "user", t, "", pd.Timestamp("2026-01-01"))
+        for i, t in enumerate(texts)
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    )
+    vocab = frozenset(
+        "epsilon iota zeta mu delta kappa beta theta nu filler words only doc".split()
+    )
+    d = str(tmp_path_factory.mktemp("boundary_idx"))
+    paths = build_index(spark, pdf.pipe(spark.createDataFrame), d, vocab, buckets=2)
+    docs = [((r.conv_id, int(r.turn_idx)), r.text) for r in pdf.itertuples()]
+    return paths, O.build_index(docs, vocab)
+
+
+def test_expansion_rebuckets_at_capacity_boundary(spark, bucket_boundary_index):
+    """Regression: the expansion pass must iterate words_set in the
+    COLLECTION-constructor bucket order, and must run even when no
+    stopword was removed if that order differs from the first pass's.
+    Before the fix the engine (a) skipped the re-run entirely for
+    stopword-free queries and (b) re-bucketed the expansion terms at
+    default capacity, so its Q5 drops diverged from the reference (and
+    from the oracle) on exactly this query shape."""
+    from holi_search_engine_spark.functions.javacompat import java_hashset_order
+
+    paths, oracle_idx = bucket_boundary_index
+    q = ("beta kappa epsilon iota mu kappa delta iota kappa theta "
+         "nu iota epsilon delta nu zeta iota")
+    words = q.split()
+    coll = java_hashset_order(words, initial_from_collection=True)
+    assert java_hashset_order(coll) != coll, (
+        "fixture query must straddle the 16->32 capacity boundary"
+    )
+    # the pivot pair must order oppositely in the two tables
+    assert coll.index("iota") < coll.index("epsilon")
+    rb = java_hashset_order(coll)
+    assert rb.index("epsilon") < rb.index("iota")
+
+    eng = RankerEngine(spark, paths, preload=True)
+    got = eng.search(q)
+    exp = O.search(oracle_idx, q)
+    assert list(zip(got["conv_id"], got["turn_idx"])) == [c.doc for c in exp]
+    # weights agree to ~1 ulp, not bit-exactly: the engine's idf is the
+    # JVM's Math.log (1-ulp spec, matching the reference's own Idf job)
+    # while the oracle uses libm log — the pre-fix Q5-shift error was a
+    # ~2x weight difference, far outside this band.  Bit-exactness vs the
+    # REFERENCE is asserted in tests/test_javadiff_scoring.py, where the
+    # compiled kernel reads the same artifact-derived idf values.
+    for g, c in zip(got["tf_idf_weight"], exp):
+        assert g == pytest.approx(c.tf_idf_weight, rel=1e-12)
+    for g, c in zip(got["score"], exp):
+        assert g == pytest.approx(c.score(), rel=1e-12)
