@@ -89,7 +89,7 @@ def index_ntf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quirk Q1: double sqrt of the tf² sum."""
     tf = term_tf(spark, sf_dir)
     return tf.groupBy("doc_id").agg(
-        F.round(F.pow(F.sum(F.col("tf") * F.col("tf")), F.lit(0.25)), 6).alias("ntf")
+        F.round(F.sqrt(F.sqrt(F.sum(F.col("tf") * F.col("tf")))), 6).alias("ntf")
     )
 
 
@@ -254,7 +254,7 @@ def search_topk(
         .withColumn("idf", F.log(F.lit(float(n)) / F.col("df")))
     )
     ntf = tf.groupBy("doc_id").agg(
-        F.pow(F.sum(F.col("tf") * F.col("tf")), F.lit(0.25)).alias("ntf")
+        F.sqrt(F.sqrt(F.sum(F.col("tf") * F.col("tf")))).alias("ntf")
     )
     hits = tf.join(F.broadcast(qdf), "term")
     cand = hits.groupBy("doc_id").agg(
@@ -590,7 +590,7 @@ def search_bm25_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE aggregate (reusing build_ntf verbatim would cost a second
     # groupBy pass for dl); if Q1 ever changes, change both sites
     stats = tf.groupBy("doc_id").agg(
-        F.pow(F.sum(F.col("tf").cast("double") * F.col("tf")), F.lit(0.25)).alias("ntf"),
+        F.sqrt(F.sqrt(F.sum(F.col("tf").cast("double") * F.col("tf")))).alias("ntf"),
         F.sum("tf").cast("long").alias("dl"),
     )
     avgdl = stats.agg(F.avg("dl")).first()[0] or 1.0

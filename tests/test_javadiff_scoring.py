@@ -30,7 +30,6 @@ import base64
 import math
 import random
 import re
-import shutil
 import subprocess
 
 import pytest
