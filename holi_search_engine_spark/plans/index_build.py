@@ -138,6 +138,15 @@ def build_wmetric(term_tf: DataFrame, n_docs: int) -> DataFrame:
 
     N is a parameter (the reference hard-codes 462,821 at ``Idf.java:33``;
     we pass the actual corpus size).
+
+    DELIBERATE 1-ulp divergence: ``Idf.java:47`` calls ``Math.log``, whose
+    result is JVM/arch-dependent (HotSpot intrinsic, 1-ulp spec);
+    Spark's ``F.log`` is ``StrictMath.log`` (fdlibm) — bit-identical on
+    EVERY platform, which is what a reproducible build on a heterogeneous
+    multi-executor cluster needs (mixed-arch executors running Math.log
+    would make idf partition-dependent).  Measured: they differ on ~3% of
+    inputs, always by exactly 1 ulp (``tests/test_java_differential.py::
+    test_spark_log_is_strictmath_not_mathlog``).
     """
     return (
         term_tf.groupBy("term")
@@ -674,6 +683,8 @@ def _build_index_inner(
             df_per_term.select(
                 "term",
                 (F.col("df_true") + F.lit(1)).alias("df"),
+                # F.log = StrictMath.log: platform-deterministic, <=1 ulp
+                # from the reference's Math.log (see build_idf docstring)
                 F.log(F.lit(float(n_idf)) / (F.col("df_true") + F.lit(1))).alias("idf"),
             ),
             paths.wmetric,

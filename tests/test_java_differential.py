@@ -1140,3 +1140,76 @@ def test_gson_dumps_matches_real_gson(tmp_path):
         if py != j:
             mismatches.append((repr(py)[:120], repr(j)[:120]))
     assert not mismatches, mismatches[:5]
+
+
+_JAVA_LOG_SRC = r"""
+import java.io.*;
+// Math.log vs StrictMath.log probe: each stdin line is a double literal;
+// prints Double.toHexString of both per line.
+public class RefLog {
+    public static void main(String[] a) throws Exception {
+        BufferedReader in = new BufferedReader(new InputStreamReader(System.in));
+        PrintStream out = new PrintStream(System.out, true, "UTF-8");
+        String line;
+        while ((line = in.readLine()) != null) {
+            double x = Double.parseDouble(line);
+            out.println(Double.toHexString(Math.log(x)) + "|"
+                + Double.toHexString(StrictMath.log(x)));
+        }
+    }
+}
+"""
+
+
+def test_spark_log_is_strictmath_not_mathlog(spark, tmp_path):
+    """Pins the documented idf rounding choice (``plans/index_build.py::
+    build_idf``): Spark's ``F.log`` is bit-identical to ``StrictMath.log``
+    (fdlibm — platform-deterministic, the right call for a reproducible
+    build on heterogeneous executors), while the reference's
+    ``Idf.java:47`` uses ``Math.log`` (HotSpot intrinsic, 1-ulp spec,
+    JVM/arch-dependent).  Asserts: (a) F.log == StrictMath.log bit-exactly
+    on every probed value, (b) any Math-vs-StrictMath difference is
+    exactly 1 ulp, (c) such differences exist (the divergence is real,
+    not hypothetical)."""
+    import math
+    import random
+    import struct
+
+    from pyspark.sql import functions as F
+
+    (tmp_path / "RefLog.java").write_text(_JAVA_LOG_SRC, encoding="utf-8")
+    subprocess.run(
+        ["javac", "RefLog.java"], cwd=tmp_path, check=True,
+        capture_output=True, timeout=120,
+    )
+    rng = random.Random(7)
+    vals = [3.0, 2.0, 1.0, 0.5, 1.5, 1e300, 1e-300, 5e-324,
+            2.2250738585072014e-308, math.e, math.pi]
+    vals += [rng.uniform(0.1, 10000) for _ in range(800)]
+    # idf-shaped quotients: N/df for realistic corpus sizes
+    vals += [float(n) / d for n in (6, 240, 129984, 462821)
+             for d in range(1, 60)]
+    payload = "\n".join(repr(v) for v in vals) + "\n"
+    p = subprocess.run(
+        ["java", "-cp", str(tmp_path), "RefLog"],
+        input=payload.encode(), capture_output=True, timeout=120, check=True,
+    )
+    jmath, jstrict = [], []
+    for line in p.stdout.decode().splitlines():
+        m, s = line.split("|")
+        jmath.append(float.fromhex(m))
+        jstrict.append(float.fromhex(s))
+    assert len(jmath) == len(vals)
+    rows = (
+        spark.createDataFrame([(v,) for v in vals], "x double")
+        .select(F.log("x").alias("y"))
+        .collect()
+    )
+    bits = lambda x: struct.unpack("<q", struct.pack("<d", x))[0]
+    diffs = 0
+    for v, got, jm, js in zip(vals, (r.y for r in rows), jmath, jstrict):
+        assert bits(got) == bits(js), (v, got.hex(), js.hex())
+        if bits(jm) != bits(js):
+            assert abs(bits(jm) - bits(js)) == 1, (v, jm.hex(), js.hex())
+            diffs += 1
+    assert diffs > 0, "expected real Math-vs-StrictMath divergences"
