@@ -1,0 +1,132 @@
+"""Multi-corpus soak of the distributed query paths against the engine.
+
+For each random corpus (same generator as ``scripts/soak_javadiff.py``,
+whose compiled-Java differential pins the single-node ``RankerEngine``
+bit-exactly), this drives the two distributed plans and requires:
+
+- ``DistributedRanker.search`` rank-identical to ``RankerEngine.search``:
+  same doc sequence, scores equal to 1e-9 (the Spark-side aggregation
+  sums floats in partition order, so bit-identity is not the contract —
+  see PLANS.md `distributed_bm25_topk` notes), and for NaN-poisoned
+  queries (negative idf) the same candidate SET with all-NaN scores
+  on both sides (NaN order is unspecified in the reference too, Q10).
+- ``distributed_bm25_topk`` rank-identical (docs AND scores to 1e-9) to
+  ``BM25Engine.search`` at n_ranges in {1, 5} — the degenerate
+  single-task case and a forced multi-task split.
+
+Run from the repo root:
+
+    python scripts/soak_distributed.py [seed,seed,...] [queries_per_corpus]
+
+Recorded run (round 5): seeds 11,22,33,44,55 x 12 queries (plus the
+bm25 subset at both range counts) — 0 mismatches.  Exits nonzero on
+any mismatch.
+"""
+import os
+import random
+import sys
+import time
+
+sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np  # noqa: E402
+from pyspark.sql import SparkSession  # noqa: E402
+
+from holi_search_engine_spark.corpus import (  # noqa: E402
+    generate_conversations_pdf, make_vocabulary,
+)
+from holi_search_engine_spark.plans.index_build import build_index  # noqa: E402
+from holi_search_engine_spark.query.bm25 import BM25Engine  # noqa: E402
+from holi_search_engine_spark.query.distributed import (  # noqa: E402
+    DistributedRanker, distributed_bm25_topk,
+)
+from holi_search_engine_spark.query.ranker import RankerEngine  # noqa: E402
+
+from soak_javadiff import make_queries  # noqa: E402  (scripts/ on sys.path)
+
+
+def run_corpus(spark, vocab, seed, workdir, n_queries):
+    rng = random.Random(seed)
+    n_convs = rng.randint(12, 45)
+    offset = rng.randrange(100000)
+    pdf = generate_conversations_pdf(
+        np.arange(offset, offset + n_convs), vocab
+    ).head(240).reset_index(drop=True)
+    pdf_sp = pdf.copy()
+    pdf_sp["ts"] = pdf_sp["ts"].dt.tz_localize(None)
+    paths = build_index(spark, spark.createDataFrame(pdf_sp),
+                        f"{workdir}/idx_{seed}", frozenset(vocab), buckets=2)
+    engine = RankerEngine(spark, paths, preload=True)
+    dist = DistributedRanker(spark, paths)
+    bm25 = BM25Engine(spark, paths)
+
+    by_df = sorted(engine._blocks,
+                   key=lambda t: -len(engine._term_postings(t)[0]))
+    hot, mid, rare = (by_df[:8], by_df[len(by_df)//3:len(by_df)//3+20],
+                      by_df[-20:])
+    queries = make_queries(rng, (hot, mid, rare), pdf, n_queries)
+
+    fails = []
+    for q in queries:
+        exp = engine.search(q)
+        got = dist.search(q)
+        if len(exp) != len(got):
+            fails.append((q, "ranker-len", len(got), len(exp)))
+            continue
+        if len(exp):
+            e_nan = exp["score"].isna().all()
+            g_nan = got["score"].isna().all()
+            if e_nan or g_nan:
+                if e_nan != g_nan or set(exp["doc_key"]) != set(got["doc_key"]):
+                    fails.append((q, "ranker-nan", e_nan, g_nan))
+                continue
+            if list(got["doc_key"]) != list(exp["doc_key"]):
+                fails.append((q, "ranker-order", None, None))
+                continue
+            if not np.allclose(got["score"], exp["score"], atol=1e-9):
+                fails.append((q, "ranker-score", None, None))
+                continue
+    # BM25 distributed on a subset (each query is several Spark jobs)
+    for q in queries[: max(4, n_queries // 4)]:
+        exp = bm25.search(q, 10)
+        for nr in (1, 5):
+            got = distributed_bm25_topk(spark, paths, q, 10, n_ranges=nr)
+            if list(got["conv_id"]) != list(exp["conv_id"]) or \
+               list(got["turn_idx"]) != list(exp["turn_idx"]):
+                fails.append((q, f"bm25-order-nr{nr}", None, None))
+            elif len(exp) and not np.allclose(got["score"], exp["score"],
+                                              atol=1e-9):
+                fails.append((q, f"bm25-score-nr{nr}", None, None))
+    return dict(seed=seed, n_docs=len(pdf), n_queries=len(queries),
+                fails=fails)
+
+
+def main():
+    import tempfile
+    workdir = tempfile.mkdtemp(prefix="soak_dist_")
+    vocab = make_vocabulary()
+    spark = (SparkSession.builder.master("local[16]")
+             .config("spark.sql.shuffle.partitions", "16")
+             .config("spark.driver.memory", "12g")
+             .appName("soak-dist").getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+
+    seeds = [int(s) for s in sys.argv[1].split(",")] if len(sys.argv) > 1 \
+        else [11, 22, 33]
+    nq = int(sys.argv[2]) if len(sys.argv) > 2 else 12
+    total = 0
+    for seed in seeds:
+        t0 = time.time()
+        r = run_corpus(spark, vocab, seed, workdir, nq)
+        total += len(r["fails"])
+        print(f"seed={seed} docs={r['n_docs']} queries={r['n_queries']} "
+              f"FAILS={len(r['fails'])} [{time.time()-t0:.1f}s]", flush=True)
+        for f in r["fails"][:10]:
+            print("  FAIL:", repr(f), flush=True)
+    print("TOTAL FAILS:", total, flush=True)
+    sys.exit(1 if total else 0)
+
+
+if __name__ == "__main__":
+    main()
