@@ -237,9 +237,21 @@ def _blocks_from_sorted(pdf_iter):
     Arrow batches — the last term's unfinished rows carry over between
     batches (bounded by BLOCK_SIZE + batch size); everything else encodes
     vectorized via :func:`_encode_frame`.
+
+    ``pending_term``/``carry_bno`` must survive an EMPTY carry: when a
+    batch boundary lands exactly on a block boundary (``len(tail)`` a
+    multiple of BLOCK_SIZE) there are no leftover rows, but the term can
+    still continue in the next batch — resetting the block offset there
+    restarted that term's numbering at 0, producing duplicate
+    ``(term, block_no)`` labels that scrambled every reader's
+    ``sort_values("block_no")`` posting order (hit in production at
+    sf0.1 under local[32]: a ~95k-posting term crossed the 10,000-row
+    Arrow boundary at exactly 80,000 = 625·128 rows; regression pinned
+    in ``tests/test_compression.py``).
     """
     carry: pd.DataFrame | None = None
     carry_bno = 0
+    pending_term = None  # term the (possibly row-less) carry continues
 
     for pdf in pdf_iter:
         if not len(pdf):
@@ -247,7 +259,9 @@ def _blocks_from_sorted(pdf_iter):
         if carry is not None:
             head_bno0 = carry_bno  # carry rows always form group 0
             pdf = pd.concat([carry, pdf], ignore_index=True)
-            carry, carry_bno = None, 0
+            carry = None
+        elif pending_term is not None and pdf["term"].iloc[0] == pending_term:
+            head_bno0 = carry_bno  # block-aligned continuation, no rows
         else:
             head_bno0 = 0
         terms = pdf["term"].to_numpy()
@@ -265,9 +279,10 @@ def _blocks_from_sorted(pdf_iter):
             yield _encode_frame(tail.iloc[:full].reset_index(drop=True), tail_bno0)
         carry = tail.iloc[full:].reset_index(drop=True)
         carry_bno = tail_bno0 + full // BLOCK_SIZE
+        pending_term = terms[-1]
         if not len(carry):
-            carry = None
-            carry_bno = 0
+            carry = None  # keep carry_bno + pending_term: the term may
+            # continue in the next batch exactly block-aligned
     if carry is not None and len(carry):
         yield _encode_frame(carry, carry_bno)
 
