@@ -431,3 +431,197 @@ def distributed_bm25_topk(
     )
     out["score"] = [r["score"] for r in rows]
     return out
+
+
+def distributed_bm25_local_topk_many(
+    spark: SparkSession,
+    paths: IndexPaths,
+    queries: list[str],
+    k: int = 10,
+    n_ranges: int | None = None,
+    meta: dict | None = None,
+) -> DataFrame | None:
+    """Per-range local top-k rows ``(query_id, doc_key, score)`` for MANY
+    queries in ONE Spark job — the batch-scoring shape of
+    :func:`distributed_bm25_local_topk`.
+
+    The single-query path pays per query: a wmetric read, a
+    min/max + approxQuantile pass over doc_len for the range bounds, a
+    block scan, and a cogroup shuffle — four job chains each.  A batch
+    workload (evaluation query sets, offline relevance sweeps, the
+    reference's own fixture replay) amortizes ALL of it: one pruned
+    wmetric read for the union of the batch's terms, one range-bounds
+    computation, one block scan pruned to the union's buckets+terms, one
+    cogroup — and a term shared by multiple queries ships its blocks to
+    a range task ONCE, where each query's sweep reuses the same block
+    rows (block-max skipping keeps per-query decode sub-linear, so the
+    duplicate decode across queries touching the same term is bounded by
+    each sweep's own skip behavior).
+
+    ``query_id`` is the position in ``queries``; a query with no
+    tokenizable / indexed terms contributes zero rows (the wrapper
+    restores its empty per-query frame).  Exactness per query is
+    pytest-pinned rank-identical to the single-query path and the
+    single-node engine (``tests/test_distributed.py``).
+    """
+    from .bm25 import BM25_B, _NormLookup, _TermSweep, bm25_idf, block_sweep_topk
+
+    if meta is None:
+        meta = read_meta(paths)
+    n_docs, avgdl = meta["n_docs"], meta.get("avgdl") or 1.0
+    per_q_terms: dict[int, list[str]] = {}
+    for qid, q in enumerate(queries):
+        terms = list(dict.fromkeys(_RE_PUNCT.sub(" ", q).strip().lower().split()))
+        if terms:
+            per_q_terms[qid] = terms
+    union_terms = sorted({t for ts in per_q_terms.values() for t in ts})
+    if not union_terms:
+        return None
+    wm = (
+        read_table(spark, paths.wmetric)
+        .where(F.col("term").isin(union_terms))
+        .select("term", "df")
+        .toPandas()
+    )
+    # wmetric df carries the reference's +1 quirk; undo it for BM25 idf
+    w_by_term = {
+        t: bm25_idf(n_docs, int(d) - 1) for t, d in zip(wm["term"], wm["df"])
+    }
+    q_weights = {
+        qid: {t: w_by_term[t] for t in ts if t in w_by_term}
+        for qid, ts in per_q_terms.items()
+    }
+    q_weights = {qid: w for qid, w in q_weights.items() if w}
+    if not q_weights:
+        return None
+    active_terms = sorted({t for w in q_weights.values() for t in w})
+
+    dl = read_table(spark, paths.doc_len)
+    r = n_ranges or spark.sparkContext.defaultParallelism
+    bounds = doc_range_bounds(dl, r)
+    if not bounds:
+        return None
+    rdf = spark.createDataFrame(bounds, "range_id int, lo long, hi long")
+    rdf_dl = spark.createDataFrame(bounds, "range_id int, lo long, hi long")
+
+    tb = sorted({term_bucket(t, meta["buckets"]) for t in active_terms})
+    blocks = (
+        read_table(spark, paths.blocks)
+        .where(F.col("bucket").isin(tb))
+        .where(F.col("term").isin(active_terms))
+        .select("term", "block_no", "key_min", "key_max", "ub_bm25",
+                "doc_bytes", "tf_bytes")
+        .join(
+            F.broadcast(rdf),
+            (F.col("key_max") >= F.col("lo")) & (F.col("key_min") <= F.col("hi")),
+        )
+    )
+    dl_r = dl.join(
+        F.broadcast(rdf_dl),
+        (F.col("doc_key") >= F.col("lo")) & (F.col("doc_key") <= F.col("hi")),
+    ).select("range_id", "doc_key", "dl")
+
+    b_avgdl, b_qweights, b_k = float(avgdl), dict(q_weights), int(k)
+    _empty = pd.DataFrame(
+        {
+            "query_id": pd.Series([], dtype="int32"),
+            "doc_key": pd.Series([], dtype="int64"),
+            "score": pd.Series([], dtype="float64"),
+        }
+    )
+
+    def kernel(key, blocks_pdf, dl_pdf):
+        if not len(blocks_pdf) or not len(dl_pdf):
+            return _empty
+        lo = int(blocks_pdf["lo"].iloc[0])
+        hi = int(blocks_pdf["hi"].iloc[0])
+        norms = _NormLookup(
+            dl_pdf["doc_key"].to_numpy(dtype=np.int64),
+            1.0 - BM25_B + BM25_B * dl_pdf["dl"].to_numpy(dtype=np.float64) / b_avgdl,
+        )
+        # group each term's blocks ONCE; every query's sweep over that
+        # term re-reads the same (already materialized) group frame
+        term_groups = {
+            t: g.sort_values("block_no").reset_index(drop=True)
+            for t, g in blocks_pdf.groupby("term", sort=False)
+        }
+        qids: list[int] = []
+        keys: list[int] = []
+        scores: list[float] = []
+        for qid, weights in b_qweights.items():
+            sweeps = [
+                _TermSweep(term_groups[t], w, norms)
+                for t, w in weights.items()
+                if t in term_groups
+            ]
+            if not sweeps:
+                continue
+            for d, s in block_sweep_topk(sweeps, b_k, lo=lo, hi=hi):
+                qids.append(qid)
+                keys.append(d)
+                scores.append(s)
+        if not qids:
+            return _empty
+        return pd.DataFrame(
+            {
+                "query_id": pd.Series(qids, dtype="int32"),
+                "doc_key": pd.Series(keys, dtype="int64"),
+                "score": pd.Series(scores, dtype="float64"),
+            }
+        )
+
+    return (
+        blocks.groupBy("range_id")
+        .cogroup(dl_r.groupBy("range_id"))
+        .applyInPandas(kernel, schema="query_id int, doc_key long, score double")
+    )
+
+
+def distributed_bm25_topk_many(
+    spark: SparkSession,
+    paths: IndexPaths,
+    queries: list[str],
+    k: int = 10,
+    n_ranges: int | None = None,
+) -> pd.DataFrame:
+    """Exact distributed BM25 top-k for a BATCH of queries in one Spark
+    job; returns ``(query_id, <doc_cols...>, score)`` with each query's
+    rows in rank order (score desc, doc asc — the engine's tie-break).
+
+    Same doc-range partition contract as :func:`distributed_bm25_topk`
+    (each range sees a doc's full score or none of it, so per-range
+    top-ks union exactly); the driver merge handles ≤ |queries|·r·k tiny
+    rows.  Queries with no indexed terms yield zero rows for their
+    ``query_id`` — callers batching heterogeneous query sets get the
+    same empty-result signal as the single-query path's empty frame.
+    """
+    meta = read_meta(paths)
+    doc_cols = meta["doc_cols"]
+    empty = doc_key_to_cols(np.array([], dtype=np.int64), doc_cols)
+    empty.insert(0, "query_id", pd.Series([], dtype="int32"))
+    empty["score"] = pd.Series([], dtype="float64")
+    local = distributed_bm25_local_topk_many(
+        spark, paths, queries, k, n_ranges, meta=meta
+    )
+    if local is None:
+        return empty
+    rows = local.collect()
+    if not rows:
+        return empty
+    pdf = pd.DataFrame(
+        {
+            "query_id": [r["query_id"] for r in rows],
+            "doc_key": [r["doc_key"] for r in rows],
+            "score": [r["score"] for r in rows],
+        }
+    )
+    out_parts = []
+    for qid, g in pdf.sort_values("query_id").groupby("query_id", sort=True):
+        top = g.sort_values(
+            ["score", "doc_key"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+        part = doc_key_to_cols(top["doc_key"].to_numpy(dtype=np.int64), doc_cols)
+        part.insert(0, "query_id", np.int32(qid))
+        part["score"] = top["score"].to_numpy(dtype=np.float64)
+        out_parts.append(part)
+    return pd.concat(out_parts, ignore_index=True)

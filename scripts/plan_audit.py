@@ -105,6 +105,21 @@ AUDIT: list[tuple[str, list[str], list[str]]] = [
         ],
         ["SortMergeJoin"],
     ),
+    # the batched multi-query plan must keep the EXACT same physical
+    # shape as the single-query plan (one block scan pruned to the
+    # union of the batch's buckets+terms, broadcast range join, one
+    # cogroup kernel) — batching amortizes job chains, it must not
+    # introduce a per-query scan or a shuffle join
+    (
+        "distributed_bm25_topk_many",
+        [
+            "FlatMapCoGroupsInPandas",
+            "PartitionFilters: [bucket#",
+            "In(term",
+            "BroadcastNestedLoopJoin",
+        ],
+        ["SortMergeJoin"],
+    ),
 ]
 
 GLOBAL_FORBIDDEN = ["CartesianProduct"]
@@ -142,6 +157,7 @@ def special_frames(spark) -> dict:
     from holi_search_engine_spark.plans.index_build import build_index
     from holi_search_engine_spark.query.distributed import (
         distributed_bm25_local_topk,
+        distributed_bm25_local_topk_many,
     )
 
     d = tempfile.mkdtemp(prefix="plan_audit_idx_")
@@ -157,7 +173,14 @@ def special_frames(spark) -> dict:
     frames = {
         "distributed_bm25_topk": distributed_bm25_local_topk(
             spark, paths, "the data pipeline", 10, n_ranges=4
-        )
+        ),
+        "distributed_bm25_topk_many": distributed_bm25_local_topk_many(
+            spark,
+            paths,
+            ["the data pipeline", "spark shuffle", "data spark"],
+            10,
+            n_ranges=4,
+        ),
     }
     _SPECIAL_CACHE["spark"] = spark
     _SPECIAL_CACHE["frames"] = frames

@@ -311,3 +311,37 @@ def test_unicode_whitespace_title_java_parity(spark, tmp_path_factory):
     # fold to the medial form in this repo's three implementations)
     greek = eng.search("ΚΑΛΟΣ hello").set_index("conv_id")["keyword_match"]
     assert float(greek.loc["conv-00000004"]) == 10.0
+
+
+def test_distributed_bm25_many_matches_single(spark, built_index, vocabulary):
+    """The batched multi-query plan must be rank-identical, query for
+    query, to the single-query distributed path (itself pinned to the
+    single-node engine above) — including a no-term query mixed into the
+    batch (zero rows for its query_id), a duplicate query (same answer
+    under a different query_id), and shared terms across queries (whose
+    blocks ship to each range once).  Swept at 1 range (degenerate
+    single-task) and 7 (blocks split across tasks)."""
+    import numpy as np
+
+    from holi_search_engine_spark.corpus import make_query_fixtures
+    from holi_search_engine_spark.query.distributed import (
+        distributed_bm25_topk,
+        distributed_bm25_topk_many,
+    )
+
+    qs = [q for _, q in make_query_fixtures(vocabulary)[:6]]
+    batch = qs + ["", "???", qs[0]]  # empty + punctuation-only + duplicate
+    for nr in (1, 7):
+        got = distributed_bm25_topk_many(spark, built_index, batch, 10, n_ranges=nr)
+        for qid, q in enumerate(batch):
+            exp = distributed_bm25_topk(spark, built_index, q, 10, n_ranges=nr)
+            g = got[got["query_id"] == qid]
+            assert list(g["conv_id"]) == list(exp["conv_id"]), (qid, nr)
+            assert list(g["turn_idx"]) == list(exp["turn_idx"]), (qid, nr)
+            assert np.allclose(
+                g["score"].to_numpy(), exp["score"].to_numpy(), atol=1e-9
+            ), (qid, nr)
+    # all-unindexed batch: the well-typed empty frame, not an error
+    none = distributed_bm25_topk_many(spark, built_index, ["", "???"], 10)
+    assert list(none.columns) == ["query_id", "conv_id", "turn_idx", "score"]
+    assert len(none) == 0
