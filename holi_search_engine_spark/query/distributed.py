@@ -577,6 +577,13 @@ def distributed_bm25_local_topk_many(
     )
 
 
+#: past this many candidate rows (|queries|·n_ranges·k) the batch merge
+#: pre-reduces Spark-side so the driver never collects more than the
+#: final |queries|·k rows (~2M rows ≈ 50 MB of (int,long,double) — well
+#: inside any driver, with the window job costing one tiny shuffle)
+_DRIVER_MERGE_ROWS = 2_000_000
+
+
 def distributed_bm25_topk_many(
     spark: SparkSession,
     paths: IndexPaths,
@@ -591,10 +598,17 @@ def distributed_bm25_topk_many(
     Same doc-range partition contract as :func:`distributed_bm25_topk`
     (each range sees a doc's full score or none of it, so per-range
     top-ks union exactly); the driver merge handles ≤ |queries|·r·k tiny
-    rows.  Queries with no indexed terms yield zero rows for their
-    ``query_id`` — callers batching heterogeneous query sets get the
-    same empty-result signal as the single-query path's empty frame.
+    rows.  Past ``_DRIVER_MERGE_ROWS`` candidate rows (a relevance sweep
+    over tens of thousands of queries at high range counts) the
+    per-query top-k is taken Spark-side first — a rank window over
+    (query_id) on the already-tiny local-topk frame — so the driver only
+    ever collects the final |queries|·k rows.  Queries with no indexed
+    terms yield zero rows for their ``query_id`` — callers batching
+    heterogeneous query sets get the same empty-result signal as the
+    single-query path's empty frame.
     """
+    from pyspark.sql import Window
+
     meta = read_meta(paths)
     doc_cols = meta["doc_cols"]
     empty = doc_key_to_cols(np.array([], dtype=np.int64), doc_cols)
@@ -605,6 +619,14 @@ def distributed_bm25_topk_many(
     )
     if local is None:
         return empty
+    r = n_ranges or spark.sparkContext.defaultParallelism
+    if len(queries) * r * k > _DRIVER_MERGE_ROWS:
+        rank = F.row_number().over(
+            Window.partitionBy("query_id").orderBy(
+                F.col("score").desc(), F.col("doc_key")
+            )
+        )
+        local = local.withColumn("_rk", rank).where(F.col("_rk") <= k).drop("_rk")
     rows = local.collect()
     if not rows:
         return empty
@@ -621,7 +643,7 @@ def distributed_bm25_topk_many(
             ["score", "doc_key"], ascending=[False, True], kind="mergesort"
         ).head(k)
         part = doc_key_to_cols(top["doc_key"].to_numpy(dtype=np.int64), doc_cols)
-        part.insert(0, "query_id", np.int32(qid))
+        part.insert(0, "query_id", np.full(len(part), qid, dtype=np.int32))
         part["score"] = top["score"].to_numpy(dtype=np.float64)
         out_parts.append(part)
     return pd.concat(out_parts, ignore_index=True)

@@ -13,14 +13,17 @@ bit-exactly), this drives the two distributed plans and requires:
 - ``distributed_bm25_topk`` rank-identical (docs AND scores to 1e-9) to
   ``BM25Engine.search`` at n_ranges in {1, 5} — the degenerate
   single-task case and a forced multi-task split.
+- ``distributed_bm25_topk_many`` over ALL of the corpus's queries in one
+  batch job: each query's slice rank-identical to the engine.
 
 Run from the repo root:
 
     python scripts/soak_distributed.py [seed,seed,...] [queries_per_corpus]
 
 Recorded run (round 5): seeds 11,22,33,44,55 x 12 queries (plus the
-bm25 subset at both range counts) — 0 mismatches.  Exits nonzero on
-any mismatch.
+bm25 subset at both range counts) — 0 mismatches.  Re-run after the
+batch-path addition with seeds 11,22,33 x 12 queries including the
+all-queries batch check — 0 mismatches.  Exits nonzero on any mismatch.
 """
 import os
 import random
@@ -39,7 +42,7 @@ from holi_search_engine_spark.corpus import (  # noqa: E402
 from holi_search_engine_spark.plans.index_build import build_index  # noqa: E402
 from holi_search_engine_spark.query.bm25 import BM25Engine  # noqa: E402
 from holi_search_engine_spark.query.distributed import (  # noqa: E402
-    DistributedRanker, distributed_bm25_topk,
+    DistributedRanker, distributed_bm25_topk, distributed_bm25_topk_many,
 )
 from holi_search_engine_spark.query.ranker import RankerEngine  # noqa: E402
 
@@ -98,6 +101,18 @@ def run_corpus(spark, vocab, seed, workdir, n_queries):
             elif len(exp) and not np.allclose(got["score"], exp["score"],
                                               atol=1e-9):
                 fails.append((q, f"bm25-score-nr{nr}", None, None))
+    # the batched plan: ALL of the corpus's queries in one job, each
+    # query's slice rank-identical to the engine
+    batch = distributed_bm25_topk_many(spark, paths, queries, 10, n_ranges=5)
+    for qid, q in enumerate(queries):
+        exp = bm25.search(q, 10)
+        g = batch[batch["query_id"] == qid]
+        if list(g["conv_id"]) != list(exp["conv_id"]) or \
+           list(g["turn_idx"]) != list(exp["turn_idx"]):
+            fails.append((q, "bm25-batch-order", None, None))
+        elif len(exp) and not np.allclose(g["score"].to_numpy(),
+                                          exp["score"].to_numpy(), atol=1e-9):
+            fails.append((q, "bm25-batch-score", None, None))
     return dict(seed=seed, n_docs=len(pdf), n_queries=len(queries),
                 fails=fails)
 

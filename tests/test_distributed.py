@@ -345,3 +345,28 @@ def test_distributed_bm25_many_matches_single(spark, built_index, vocabulary):
     none = distributed_bm25_topk_many(spark, built_index, ["", "???"], 10)
     assert list(none.columns) == ["query_id", "conv_id", "turn_idx", "score"]
     assert len(none) == 0
+
+
+def test_distributed_bm25_many_spark_side_merge(
+    spark, built_index, vocabulary, monkeypatch
+):
+    """Forcing the candidate-row threshold to 0 routes the batch merge
+    through the Spark-side rank window; results must be identical to the
+    driver-merge branch (same tie-break: score desc, doc asc)."""
+    import numpy as np
+
+    from holi_search_engine_spark.corpus import make_query_fixtures
+    from holi_search_engine_spark.query import distributed as D
+
+    qs = [q for _, q in make_query_fixtures(vocabulary)[:4]] + [""]
+    base = D.distributed_bm25_topk_many(spark, built_index, qs, 10, n_ranges=5)
+    monkeypatch.setattr(D, "_DRIVER_MERGE_ROWS", 0)
+    via_spark = D.distributed_bm25_topk_many(
+        spark, built_index, qs, 10, n_ranges=5
+    )
+    assert list(via_spark["query_id"]) == list(base["query_id"])
+    assert list(via_spark["conv_id"]) == list(base["conv_id"])
+    assert list(via_spark["turn_idx"]) == list(base["turn_idx"])
+    assert np.allclose(
+        via_spark["score"].to_numpy(), base["score"].to_numpy(), atol=0
+    )
