@@ -279,6 +279,31 @@ def main() -> None:
         for k, v in shuffle_delta(spark, before).items():
             extra[f"scale_ann_{k}"] = v
 
+        # ---- kNN JOIN at the scale tier: 10k queries × 1.3M corpus,
+        # 64 IVF cells nprobe=8 — the batch/graph form of the ANN path
+        # (one corpus assignment + one cogroup; the q×cell candidate set
+        # never materializes as rows).  Deterministic first-64 centroids:
+        # the entry measures the JOIN, not quantizer training (that is
+        # scale_ann_ivf_kmeans above).
+        from holi_search_engine_spark.operators.similarity import ann_knn_join
+
+        spark.catalog.clearCache()
+        before = _stages(spark)
+        t0 = time.time()
+        cent64 = emb.where(F.col("vec_id") < 64).select(
+            F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+        )
+        knn_q = emb.where(F.col("vec_id") % 130 == 0)
+        n_knn = ann_knn_join(
+            emb, knn_q, cent64, nprobe=8, top_k=10, exclude_self=True,
+            cell_salt=8,  # 64 cells alone cap the cogroup at 64 tasks;
+            # salting split the hot cells and measured 88 s → 26 s here
+        ).count()
+        scale_timings["scale_ann_knn_join_10k"] = time.time() - t0
+        extra["scale_knn_rows"] = float(n_knn)
+        for k, v in shuffle_delta(spark, before).items():
+            extra[f"scale_knn_{k}"] = v
+
         spark.catalog.clearCache()
         before = _stages(spark)
         t0 = time.time()

@@ -621,3 +621,220 @@ def ann_pairwise_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label_a", "label_b")
         .agg(F.count("*").alias("n"))
     )
+
+
+def _assign_nprobe_cells(queries: DataFrame, cent: DataFrame, nprobe: int) -> DataFrame:
+    """(query_id, embedding, cid) — each query row exploded to its
+    ``nprobe`` nearest centroids, fully MAP-SIDE (same closure-shipped
+    centroid matmul as :func:`_assign_nearest`, same 6dp-round +
+    smallest-cid tie-break on the per-row cell ORDER).  Query rows with
+    no defined cosine against any centroid (zero-norm / malformed
+    vectors) still probe the ``nprobe`` smallest cids — the sentinel
+    path of the single-query ``_ivf_search``'s null-last ordering."""
+    import numpy as np
+    import pandas as pd
+
+    crows = sorted(
+        cent.select(F.col("cid").cast("long"), "cvec").collect(),
+        key=lambda r: r[0],
+    )
+    out_schema = "query_id long, embedding array<float>, cid long"
+    if not crows:
+        return (
+            queries.select(F.col("vec_id").alias("query_id"), "embedding")
+            .withColumn("cid", F.lit(None).cast("long"))
+            .where(F.lit(False))
+        )
+    dim = max((len(r[1]) for r in crows if r[1] is not None), default=0)
+    C = np.vstack(
+        [
+            np.asarray(r[1], dtype=np.float64)
+            if r[1] is not None and len(r[1]) == dim
+            else np.full(dim, np.nan)
+            for r in crows
+        ]
+    ) if dim else np.zeros((len(crows), 0))
+    cids = np.asarray([r[0] for r in crows], dtype=np.int64)
+    cnorm = np.sqrt((C * C).sum(axis=1))
+    n_take = min(int(nprobe), len(crows))
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            embs = pdf["embedding"].to_numpy()
+            valid = np.array(
+                [e is not None and len(e) == dim for e in embs], dtype=bool
+            )
+            sims = np.full((len(embs), len(crows)), -1.5)
+            if valid.any():
+                E = np.vstack(
+                    [np.asarray(e, dtype=np.float64) for e in embs[valid]]
+                )
+                enorm = np.sqrt((E * E).sum(axis=1))
+                denom = enorm[:, None] * cnorm[None, :]
+                s = np.full(denom.shape, -1.5)
+                np.divide(E @ C.T, denom, out=s, where=denom > 0)
+                s[~np.isfinite(s)] = -1.5
+                sims[valid] = np.round(s, 6)
+            # stable argsort of -sims keeps equal-sim cells cid-ascending
+            # (cids is cid-sorted), matching the qcells ORDER BY of the
+            # expression form
+            order = np.argsort(-sims, axis=1, kind="stable")[:, :n_take]
+            qid = pdf["vec_id"].to_numpy()
+            rep = np.repeat(np.arange(len(embs)), n_take)
+            yield pd.DataFrame(
+                {
+                    "query_id": qid[rep],
+                    "embedding": pdf["embedding"].iloc[rep].reset_index(drop=True),
+                    "cid": cids[order.ravel()],
+                }
+            )
+
+    return queries.select("vec_id", "embedding").mapInPandas(
+        kernel, schema=out_schema
+    )
+
+
+def ann_knn_join(
+    emb: DataFrame,
+    queries: DataFrame,
+    cent: DataFrame,
+    nprobe: int = IVF_NPROBE,
+    top_k: int = TOP_K,
+    exclude_self: bool = False,
+    cell_salt: int = 1,
+) -> DataFrame:
+    """IVF-pruned k-nearest-neighbor JOIN: for every row of ``queries``
+    (``vec_id, embedding``), the ``top_k`` nearest rows of ``emb`` by
+    6dp-rounded cosine (ties → smallest corpus vec_id), searching only
+    each query's ``nprobe`` nearest cells.  Returns
+    ``(query_id, vec_id, cosine)`` — the batch/all-pairs form of
+    :func:`_ivf_search`, i.e. kNN-graph construction (semantic-dedup
+    graphs, retrieval-eval sweeps, hard-negative mining) instead of one
+    probe per Spark job.
+
+    Scale shape (the FAISS-IVF batch search expressed in Spark ops):
+
+    - corpus side: ONE map-side pass assigns each vector to its nearest
+      centroid (:func:`_assign_nearest` — closure-shipped centroid
+      matmul, no shuffle), then ONE hash exchange on ``cid``;
+    - query side: ONE map-side pass explodes each query to its
+      ``nprobe`` nearest cells (:func:`_assign_nprobe_cells`), then the
+      same ``cid`` exchange — queries·nprobe small rows;
+    - ONE cogroup on ``cid``: the kernel scores a whole cell against all
+      its probes as a single numpy matmul and emits only each probe's
+      per-cell partial top-k (≤ queries·nprobe·top_k rows total — the
+      q×cell_size candidate set never materializes as rows);
+    - final per-query top-k: a rank window over ``query_id`` on those
+      partials (tiny — no full sort of candidates).
+
+    Pairs with no defined cosine (zero-norm or malformed vectors on
+    either side) are omitted from the candidate set, so they can only be
+    absent from — never wrongly inside — a query's top-k.  With
+    ``exclude_self`` a corpus row whose ``vec_id`` equals ``query_id``
+    is skipped (the self-join/kNN-graph case).  Exactness within the
+    probed cells is property-tested against a numpy brute force in
+    ``tests/test_similarity.py``.
+
+    ``cell_salt > 1`` splits every cell into that many hash sub-groups:
+    the cogroup's parallelism is otherwise capped at the CELL count
+    (64 cells can busy at most 64 tasks whatever the cluster size, and a
+    hot cell is one straggler task), while salting multiplies the group
+    count and duplicates only the tiny probe side (corpus rows are still
+    scored exactly once, so the final window merges partials to the
+    identical answer — pytest-pinned).  Set it to about
+    ``cores / cells`` rounded up, more under cell skew.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import Window
+
+    best = _assign_nearest(emb, cent)
+    probes = _assign_nprobe_cells(queries, cent, nprobe)
+    group_keys = ["cid"]
+    if cell_salt > 1:
+        group_keys = ["cid", "_salt"]
+        best = best.withColumn(
+            "_salt", F.pmod(F.xxhash64("vec_id"), F.lit(cell_salt)).cast("int")
+        )
+        probes = probes.withColumn(
+            "_salt", F.explode(F.array([F.lit(s) for s in range(cell_salt)]))
+        )
+    b_k = int(top_k)
+    b_excl = bool(exclude_self)
+
+    def kernel(key, corpus_pdf, probe_pdf):
+        empty = pd.DataFrame(
+            {
+                "query_id": pd.Series([], dtype="int64"),
+                "vec_id": pd.Series([], dtype="int64"),
+                "cosine": pd.Series([], dtype="float64"),
+            }
+        )
+        if not len(corpus_pdf) or not len(probe_pdf):
+            return empty
+        # corpus rows sorted by vec_id so a stable sort over -cosine
+        # yields the smallest-vec_id tie-break for free
+        corpus_pdf = corpus_pdf.sort_values("vec_id").reset_index(drop=True)
+        cvecs = corpus_pdf["embedding"].to_numpy()
+        dims = [len(e) for e in cvecs if e is not None]
+        dim = max(dims, default=0)
+        if dim == 0:
+            return empty
+        c_valid = np.array(
+            [e is not None and len(e) == dim for e in cvecs], dtype=bool
+        )
+        if not c_valid.any():
+            return empty
+        E = np.vstack([np.asarray(e, dtype=np.float64) for e in cvecs[c_valid]])
+        enorm = np.sqrt((E * E).sum(axis=1))
+        e_ids = corpus_pdf["vec_id"].to_numpy(dtype=np.int64)[c_valid]
+        qvecs = probe_pdf["embedding"].to_numpy()
+        q_ids = probe_pdf["query_id"].to_numpy(dtype=np.int64)
+        q_valid = np.array(
+            [e is not None and len(e) == dim for e in qvecs], dtype=bool
+        )
+        if not q_valid.any():
+            return empty
+        Q = np.vstack([np.asarray(e, dtype=np.float64) for e in qvecs[q_valid]])
+        qnorm = np.sqrt((Q * Q).sum(axis=1))
+        denom = qnorm[:, None] * enorm[None, :]
+        sims = np.full(denom.shape, -np.inf)
+        np.divide(Q @ E.T, denom, out=sims, where=denom > 0)
+        sims[~np.isfinite(sims)] = -np.inf  # undefined cosine: never a hit
+        sims = np.round(sims, 6)
+        qid_v = q_ids[q_valid]
+        if b_excl:
+            sims[qid_v[:, None] == e_ids[None, :]] = -np.inf
+        take = min(b_k, sims.shape[1])
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :take]
+        rows_q = np.repeat(qid_v, take)
+        rows_v = e_ids[order.ravel()]
+        rows_s = np.take_along_axis(sims, order, axis=1).ravel()
+        keep = np.isfinite(rows_s)
+        if not keep.any():
+            return empty
+        return pd.DataFrame(
+            {
+                "query_id": rows_q[keep],
+                "vec_id": rows_v[keep],
+                "cosine": rows_s[keep],
+            }
+        )
+
+    partials = (
+        best.select(*group_keys, "vec_id", "embedding")
+        .groupBy(*group_keys)
+        .cogroup(probes.groupBy(*group_keys))
+        .applyInPandas(kernel, schema="query_id long, vec_id long, cosine double")
+    )
+    rank = F.row_number().over(
+        Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "vec_id")
+    )
+    return (
+        partials.withColumn("_rk", rank)
+        .where(F.col("_rk") <= top_k)
+        .select("query_id", "vec_id", "cosine")
+    )

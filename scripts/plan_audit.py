@@ -120,6 +120,16 @@ AUDIT: list[tuple[str, list[str], list[str]]] = [
         ],
         ["SortMergeJoin"],
     ),
+    # IVF kNN join: BOTH side assignments are map-side Arrow kernels
+    # (MapInPandas — no join against a centroid table), candidates score
+    # inside ONE cogroup kernel, and the only joins in the plan are...
+    # none: any join node here means the q×cell candidate set
+    # materialized as rows
+    (
+        "ann_knn_join",
+        ["FlatMapCoGroupsInPandas", "MapInPandas"],
+        ["SortMergeJoin", "BroadcastHashJoin", "BroadcastNestedLoopJoin"],
+    ),
 ]
 
 GLOBAL_FORBIDDEN = ["CartesianProduct"]
@@ -182,6 +192,18 @@ def special_frames(spark) -> dict:
             n_ranges=4,
         ),
     }
+    from pyspark.sql import functions as F
+
+    from holi_search_engine_spark.operators.common import load
+    from holi_search_engine_spark.operators.similarity import ann_knn_join
+
+    emb = load(spark, SF_DIR, "embeddings")
+    cent = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    frames["ann_knn_join"] = ann_knn_join(
+        emb, emb.where(F.col("vec_id") % 50 == 0), cent, nprobe=3, top_k=5
+    )
     _SPECIAL_CACHE["spark"] = spark
     _SPECIAL_CACHE["frames"] = frames
     return frames

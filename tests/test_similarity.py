@@ -135,3 +135,98 @@ def test_assign_nearest_matches_bruteforce_random(spark):
                 if sim > best[0]:
                     best = (sim, cids[j])
             assert got[i] == best[1], (trial, i, got[i], best)
+
+
+def test_ann_knn_join_matches_bruteforce(spark):
+    """Property check: the IVF kNN JOIN (batch form) equals an
+    independent numpy brute force applying the documented rules — corpus
+    assigned to argmax-round6-min-cid cells, each query probing its
+    nprobe stable-top cells, candidates restricted to those cells,
+    pairs with undefined cosine omitted, top-k by (cosine desc, vec_id
+    asc).  Includes zero-norm corpus/query vectors, a zero-norm
+    centroid, and the exclude_self kNN-graph mode."""
+    import numpy as np
+    import pandas as pd
+
+    from holi_search_engine_spark.operators.similarity import ann_knn_join
+
+    rng = np.random.default_rng(31)
+    n, m, dim, kc, nprobe, k = 300, 40, 8, 6, 3, 5
+    mat = rng.integers(-3, 4, size=(n, dim)).astype(np.float64)
+    mat[rng.integers(0, n, 6)] = 0.0
+    cmat = rng.integers(-3, 4, size=(kc, dim)).astype(np.float64)
+    cmat[0] = 0.0
+    cids = sorted(int(c) for c in rng.choice(100, size=kc, replace=False))
+
+    emb = spark.createDataFrame(
+        pd.DataFrame(
+            {"vec_id": np.arange(n), "embedding": [list(map(float, v)) for v in mat]}
+        ),
+        "vec_id long, embedding array<float>",
+    )
+    cent = spark.createDataFrame(
+        [(c, [float(x) for x in v]) for c, v in zip(cids, cmat)],
+        "cid long, cvec array<float>",
+    )
+    q_ids = np.sort(rng.choice(n, size=m, replace=False))
+    queries = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "vec_id": q_ids,
+                "embedding": [list(map(float, mat[i])) for i in q_ids],
+            }
+        ),
+        "vec_id long, embedding array<float>",
+    )
+
+    # float32 ingestion round-trip, as Spark stores array<float>
+    mat32 = mat.astype(np.float32).astype(np.float64)
+    cmat32 = cmat.astype(np.float32).astype(np.float64)
+
+    def sims_vs_cents(rows):
+        rn = np.sqrt((rows * rows).sum(axis=1))
+        cn = np.sqrt((cmat32 * cmat32).sum(axis=1))
+        denom = rn[:, None] * cn[None, :]
+        s = np.full(denom.shape, -1.5)
+        np.divide(rows @ cmat32.T, denom, out=s, where=denom > 0)
+        s[~np.isfinite(s)] = -1.5
+        return np.round(s, 6)
+
+    cid_arr = np.asarray(cids, dtype=np.int64)
+    assign = cid_arr[np.argmax(sims_vs_cents(mat32), axis=1)]
+    probe_cells = cid_arr[
+        np.argsort(-sims_vs_cents(mat32[q_ids]), axis=1, kind="stable")[:, :nprobe]
+    ]
+
+    for excl, salt in ((False, 1), (True, 1), (False, 4), (True, 3)):
+        got = (
+            ann_knn_join(emb, queries, cent, nprobe=nprobe, top_k=k,
+                         exclude_self=excl, cell_salt=salt)
+            .toPandas()
+            .sort_values(["query_id", "cosine", "vec_id"],
+                         ascending=[True, False, True])
+            .reset_index(drop=True)
+        )
+        exp_rows = []
+        for qi, qid in enumerate(q_ids):
+            cand = np.where(np.isin(assign, probe_cells[qi]))[0]
+            if excl:
+                cand = cand[cand != qid]
+            qv = mat32[qid]
+            qn = np.sqrt((qv * qv).sum())
+            cn = np.sqrt((mat32[cand] * mat32[cand]).sum(axis=1))
+            denom = qn * cn
+            s = np.full(len(cand), -np.inf)
+            np.divide(mat32[cand] @ qv, denom, out=s, where=denom > 0)
+            s[~np.isfinite(s)] = -np.inf
+            s = np.round(s, 6)
+            keep = np.isfinite(s)
+            cand, s = cand[keep], s[keep]
+            order = np.lexsort((cand, -s))[:k]
+            for ci, sc in zip(cand[order], s[order]):
+                exp_rows.append((int(qid), int(ci), float(sc)))
+        exp = pd.DataFrame(exp_rows, columns=["query_id", "vec_id", "cosine"])
+        assert len(got) == len(exp), (excl, salt, len(got), len(exp))
+        assert list(got["query_id"]) == list(exp["query_id"]), excl
+        assert list(got["vec_id"]) == list(exp["vec_id"]), excl
+        assert np.allclose(got["cosine"], exp["cosine"], atol=0), excl
