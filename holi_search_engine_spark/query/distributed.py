@@ -258,6 +258,255 @@ class DistributedRanker:
                 "page_rank", "keyword_match", "score"]
         return pd.DataFrame(columns=cols)
 
+    def _postings_df_many(self, qid_orders: dict[int, list[str]]) -> DataFrame:
+        """(query_id, term, ord, doc_key, tf) for MANY queries' lookup
+        lists in one block scan: the scan prunes to the UNION of the
+        batch's buckets+terms, decodes each block ONCE, and the broadcast
+        (query_id, term, ord) map fans a decoded term row out to exactly
+        the queries that look it up — per-query ``ord`` preserved, so the
+        quirk-Q5 first-term-drop stays per query."""
+        union_terms = sorted({t for ts in qid_orders.values() for t in ts})
+        tb = self._term_buckets(union_terms)
+        blocks = (
+            read_table(self.spark, self.paths.blocks)
+            .where(F.col("bucket").isin(sorted(set(tb.values()))))
+            .where(F.col("term").isin(union_terms))
+            .select("term", "doc_bytes", "tf_bytes")
+        )
+        decoded = blocks.mapInPandas(_decode_blocks, schema=_DECODE_SCHEMA)
+        odf = self.spark.createDataFrame(
+            [
+                (qid, t, o)
+                for qid, ts in qid_orders.items()
+                for o, t in enumerate(ts)
+            ],
+            "query_id int, term string, ord int",
+        )
+        return decoded.join(F.broadcast(odf), "term")
+
+    def search_many(
+        self, queries: list[str], limit: int | None = None
+    ) -> pd.DataFrame:
+        """Reference-semantics search for a BATCH of queries in one job
+        chain — the fixture-replay / evaluation-sweep shape of
+        :meth:`search`, which pays ~4 Spark actions per query (postings
+        scan, candidate count, possible expansion recount, scoring
+        collect).  This runs the whole batch in 4: one pooled
+        candidate-count action (all queries' first passes in one scan),
+        one expansion re-scan for just the queries the reference's
+        ``numResults < 50`` branch re-runs, one pruned wmetric read for
+        the union of the batch's words, one scoring/collect job.
+
+        Semantics per query are IDENTICAL to :meth:`search` (same
+        expansion control flow, Q5 first-term drop per query, Q8
+        absent-idf zero, the Java NaN-poisoning quirk, title keyword
+        bonus on the RAW query string, 0.75·pagerank prior) — pinned in
+        ``tests/test_distributed.py`` including NaN-set equality.  The
+        per-query score-sum order is Spark-aggregation order, same as
+        :meth:`search` (ulp-level vs the HashMap-order single-node
+        engine, Q12).  Output adds a leading ``query_id`` (position in
+        ``queries``); rows per query are in (score desc, doc_key asc)
+        order with NaN scores first, as Spark's desc sort places them.
+        Queries with no tokens or no candidates contribute zero rows.
+        """
+        metas: dict[int, dict] = {}
+        for qid, query in enumerate(queries):
+            words = java_query_tokens(query)
+            if not words:
+                continue
+            words_set_order = java_hashset_order(
+                words, initial_from_collection=True
+            )
+            words_sw = [w for w in words_set_order if w not in STOPWORDS]
+            removed = [w for w in words_set_order if w in STOPWORDS]
+            if not words_sw:
+                words_sw = removed
+            first_order = java_hashset_order(words_sw)
+            word_count: dict[str, int] = {}
+            for w in words:
+                word_count[w] = word_count.get(w, 0) + 1
+            metas[qid] = {
+                "query": query,
+                "words_set_order": words_set_order,
+                "first_order": first_order,
+                "sw_set": list(dict.fromkeys(words_sw)),
+                "word_count": word_count,
+            }
+        if not metas:
+            out = self._empty()
+            out.insert(0, "query_id", pd.Series([], dtype="int32"))
+            return out
+
+        hits1 = self._postings_df_many(
+            {qid: m["first_order"] for qid, m in metas.items()}
+        ).cache()
+        cand1 = hits1.groupBy("query_id", "doc_key").agg(
+            F.count(F.lit(1)).alias("occurrence"),
+            F.min("ord").alias("first_ord"),
+        )
+        counts = {
+            int(r["query_id"]): int(r["n"])
+            for r in cand1.groupBy("query_id").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        expand = {
+            qid
+            for qid, m in metas.items()
+            if counts.get(qid, 0) < EXPAND_THRESHOLD
+            and m["first_order"] != m["words_set_order"]
+        }
+        if expand:
+            hits2 = self._postings_df_many(
+                {qid: metas[qid]["words_set_order"] for qid in expand}
+            ).cache()
+            cand2 = hits2.groupBy("query_id", "doc_key").agg(
+                F.count(F.lit(1)).alias("occurrence"),
+                F.min("ord").alias("first_ord"),
+            )
+            keep1 = [qid for qid in metas if qid not in expand]
+            hits = hits1.where(F.col("query_id").isin(keep1)).unionByName(hits2)
+            cand = cand1.where(F.col("query_id").isin(keep1)).unionByName(cand2)
+        else:
+            hits, cand = hits1, cand1
+
+        from pyspark.sql import Window
+
+        cut_rank = F.row_number().over(
+            Window.partitionBy("query_id").orderBy(
+                F.col("occurrence").desc(), "doc_key"
+            )
+        )
+        cut = (
+            cand.withColumn("_rk", cut_rank)
+            .where(F.col("_rk") <= TOP_CUT)
+            .drop("_rk")
+        )
+
+        union_words = sorted({w for m in metas.values() for w in m["word_count"]})
+        wm_pdf = (
+            read_table(self.spark, self.paths.wmetric)
+            .where(F.col("term").isin(union_words))
+            .select("term", "idf")
+            .toPandas()
+        )
+        idf_map = dict(zip(wm_pdf["term"], wm_pdf["idf"]))
+        poisoned = {
+            qid
+            for qid, m in metas.items()
+            if any(float(idf_map.get(t, 0.0)) < 0.0 for t in m["word_count"])
+        }
+        healthy = [qid for qid in metas if qid not in poisoned]
+        parts = []
+        if poisoned:
+            parts.append(
+                cut.where(F.col("query_id").isin(sorted(poisoned))).withColumn(
+                    "weight", F.lit(float("nan"))
+                )
+            )
+        if healthy:
+            key = doc_key_expr(self.doc_cols)
+            ntf = read_table(self.spark, self.paths.ntf).select(
+                key.alias("doc_key"), "ntf"
+            )
+            qdf = self.spark.createDataFrame(
+                [
+                    (qid, t, c, float(idf_map.get(t, 0.0)))
+                    for qid in healthy
+                    for t, c in metas[qid]["word_count"].items()
+                ],
+                "query_id int, term string, qtf int, idf double",
+            )
+            weight_sum = F.sum(
+                F.when(F.col("ord") == F.col("first_ord"), F.lit(0.0)).otherwise(
+                    F.col("qtf") * F.pow("idf", 1.5) * F.col("tf") / F.col("ntf")
+                )
+            )
+            cut_h = cut.where(F.col("query_id").isin(healthy))
+            scored = (
+                cut_h.join(hits, ["query_id", "doc_key"])
+                .join(F.broadcast(qdf), ["query_id", "term"])
+                .join(ntf, "doc_key")
+                .groupBy("query_id", "doc_key")
+                .agg(weight_sum.alias("weight"))
+            )
+            parts.append(
+                cut_h.join(scored, ["query_id", "doc_key"], "left").na.fill(
+                    {"weight": 0.0}
+                )
+            )
+        base = parts[0]
+        for p in parts[1:]:
+            base = base.unionByName(p)
+
+        key = doc_key_expr(self.doc_cols)
+        meta_df = read_table(self.spark, self.paths.doc_meta).select(
+            key.alias("doc_key"), "title"
+        )
+        qmeta = self.spark.createDataFrame(
+            [
+                (qid, m["query"], m["sw_set"], len(m["sw_set"]))
+                for qid, m in metas.items()
+            ],
+            "query_id int, qraw string, sw_set array<string>, n_sw int",
+        )
+        title_toks = F.split(
+            F.regexp_replace(
+                F.lower(
+                    F.regexp_replace(
+                        F.regexp_replace("title", _PUNCT_PATTERN, " "),
+                        JAVA_TRIM_PATTERN,
+                        "",
+                    )
+                ),
+                "ς",
+                "σ",
+            ),
+            r"\s+",
+        )
+        n_overlap = F.size(F.array_intersect(title_toks, F.col("sw_set")))
+        overlap = F.when(
+            F.col("n_sw") > 0, n_overlap.cast("double") / F.col("n_sw")
+        ).otherwise(F.lit(0.0))
+        kw = (
+            F.when(F.col("title").contains(F.col("qraw")), F.lit(10.0))
+            .when(overlap >= 0.6, overlap * 10)
+            .otherwise(F.lit(0.0))
+        )
+        base = base.join(meta_df, "doc_key", "left").join(
+            F.broadcast(qmeta), "query_id"
+        )
+        if self._has_pagerank:
+            pr = read_table(self.spark, self.paths.pageranks).select(
+                "doc_key", F.col("rank").alias("page_rank")
+            )
+            base = base.join(pr, "doc_key", "left").na.fill({"page_rank": 0.0})
+        else:
+            base = base.withColumn("page_rank", F.lit(0.0))
+        result = base.select(
+            "query_id",
+            "doc_key",
+            "occurrence",
+            F.col("weight").alias("tf_idf_weight"),
+            "page_rank",
+            kw.alias("keyword_match"),
+            (3 * F.col("weight") + 0.75 * F.col("page_rank") + kw).alias("score"),
+        )
+        out_rank = F.row_number().over(
+            Window.partitionBy("query_id").orderBy(F.col("score").desc(), "doc_key")
+        )
+        result = result.withColumn("_rk", out_rank)
+        if limit is not None:
+            result = result.where(F.col("_rk") <= limit)
+        pdf = result.orderBy("query_id", "_rk").drop("_rk").toPandas()
+        hits1.unpersist()
+        if expand:
+            hits2.unpersist()
+        keys = pdf["doc_key"].to_numpy(dtype=np.int64)
+        out = doc_key_to_cols(keys, self.doc_cols)
+        qcol = pdf.pop("query_id").astype("int32")
+        out = pd.concat([out.reset_index(drop=True), pdf.reset_index(drop=True)], axis=1)
+        out.insert(0, "query_id", qcol.reset_index(drop=True))
+        return out
+
 
 def doc_range_bounds(dl: DataFrame, r: int) -> list[tuple[int, int, int]]:
     """Disjoint, covering (range_id, lo, hi) doc-key ranges with ~equal

@@ -23,7 +23,10 @@ Run from the repo root:
 Recorded run (round 5): seeds 11,22,33,44,55 x 12 queries (plus the
 bm25 subset at both range counts) — 0 mismatches.  Re-run after the
 batch-path addition with seeds 11,22,33 x 12 queries including the
-all-queries batch check — 0 mismatches.  Exits nonzero on any mismatch.
+all-queries bm25 batch check — 0 mismatches.  Re-run after the
+reference-semantics batch replay (``search_many``) landed, seeds
+13,29 and 41,57,63 x 12 queries with both batch checks — 0 mismatches.
+Exits nonzero on any mismatch.
 """
 import os
 import random
@@ -101,7 +104,29 @@ def run_corpus(spark, vocab, seed, workdir, n_queries):
             elif len(exp) and not np.allclose(got["score"], exp["score"],
                                               atol=1e-9):
                 fails.append((q, f"bm25-score-nr{nr}", None, None))
-    # the batched plan: ALL of the corpus's queries in one job, each
+    # the batched reference-semantics replay: ALL queries in one job
+    # chain, each query's slice identical to the single-query engine
+    # (NaN queries: set equality, Q10)
+    rbatch = dist.search_many(queries)
+    for qid, q in enumerate(queries):
+        exp = engine.search(q)
+        g = rbatch[rbatch["query_id"] == qid]
+        if len(g) != len(exp):
+            fails.append((q, "ranker-batch-len", len(g), len(exp)))
+            continue
+        if not len(exp):
+            continue
+        e_nan = exp["score"].isna().all()
+        if e_nan or g["score"].isna().all():
+            if e_nan != g["score"].isna().all() or \
+               set(g["doc_key"]) != set(exp["doc_key"]):
+                fails.append((q, "ranker-batch-nan", None, None))
+        elif list(g["doc_key"]) != list(exp["doc_key"]):
+            fails.append((q, "ranker-batch-order", None, None))
+        elif not np.allclose(g["score"].to_numpy(dtype=float),
+                             exp["score"].to_numpy(dtype=float), atol=1e-9):
+            fails.append((q, "ranker-batch-score", None, None))
+    # the batched bm25 plan: ALL of the corpus's queries in one job, each
     # query's slice rank-identical to the engine
     batch = distributed_bm25_topk_many(spark, paths, queries, 10, n_ranges=5)
     for qid, q in enumerate(queries):

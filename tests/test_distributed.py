@@ -370,3 +370,44 @@ def test_distributed_bm25_many_spark_side_merge(
     assert np.allclose(
         via_spark["score"].to_numpy(), base["score"].to_numpy(), atol=0
     )
+
+
+def test_distributed_ranker_many_matches_single(spark, built_index, vocabulary):
+    """The batched reference-semantics path must reproduce ``search``
+    query for query: same doc sequence and scores to 1e-9 for healthy
+    queries, same candidate SET with all-NaN scores for NaN-poisoned
+    ones (Q10 — NaN order is unspecified in the reference too), zero
+    rows for tokenless queries."""
+    import numpy as np
+
+    from holi_search_engine_spark.corpus import make_query_fixtures
+    from holi_search_engine_spark.query.distributed import DistributedRanker
+
+    dist = DistributedRanker(spark, built_index)
+    qs = [q for _, q in make_query_fixtures(vocabulary)[:10]] + [""]
+    batch = dist.search_many(qs)
+    assert list(batch.columns)[0] == "query_id"
+    for qid, q in enumerate(qs):
+        exp = dist.search(q)
+        g = batch[batch["query_id"] == qid]
+        assert len(g) == len(exp), (qid, q)
+        if not len(exp):
+            continue
+        e_nan = exp["score"].isna().all()
+        g_nan = g["score"].isna().all()
+        assert e_nan == g_nan, (qid, q)
+        if e_nan:
+            assert set(g["doc_key"]) == set(exp["doc_key"]), (qid, q)
+            continue
+        assert list(g["doc_key"]) == list(exp["doc_key"]), (qid, q)
+        for col in ("occurrence", "tf_idf_weight", "page_rank",
+                    "keyword_match", "score"):
+            assert np.allclose(
+                g[col].to_numpy(dtype=float),
+                exp[col].to_numpy(dtype=float),
+                atol=1e-9,
+            ), (qid, q, col)
+    # limit applies per query
+    lim = dist.search_many(qs, limit=3)
+    for qid in set(lim["query_id"]):
+        assert len(lim[lim["query_id"] == qid]) <= 3
