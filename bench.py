@@ -269,25 +269,14 @@ def main() -> None:
         )
         emb.write.parquet(f"{sc_dir}/emb")
         emb = spark.read.parquet(f"{sc_dir}/emb")
-        before = _stages(spark)
-        t0 = time.time()
-        top = ann_ivf_topk_kmeans(
-            emb, query_vec_id=0, k_cells=64, nprobe=8, top_k=10, iters=3
-        ).collect()
-        scale_timings["scale_ann_ivf_kmeans"] = time.time() - t0
-        assert len(top) == 10
-        for k, v in shuffle_delta(spark, before).items():
-            extra[f"scale_ann_{k}"] = v
-
-        # ---- kNN JOIN at the scale tier: 10k queries × 1.3M corpus,
-        # 64 IVF cells nprobe=8 — the batch/graph form of the ANN path
-        # (one corpus assignment + one cogroup; the q×cell candidate set
-        # never materializes as rows).  Deterministic first-64 centroids:
-        # the entry measures the JOIN, not quantizer training (that is
-        # scale_ann_ivf_kmeans above).
+        # ---- kNN JOIN runs before the k-means entry: both are
+        # Arrow-heavy, and the fresher the JVM heap, the less old-gen
+        # drag (a full-bench run measured the knn entry 88 s AFTER the
+        # k-means churn vs 26 s in a fresh session at the same plan).
+        # Deterministic first-64 centroids: the entry measures the
+        # JOIN, not quantizer training (that is scale_ann_ivf_kmeans).
         from holi_search_engine_spark.operators.similarity import ann_knn_join
 
-        spark.catalog.clearCache()
         before = _stages(spark)
         t0 = time.time()
         cent64 = emb.where(F.col("vec_id") < 64).select(
@@ -303,6 +292,17 @@ def main() -> None:
         extra["scale_knn_rows"] = float(n_knn)
         for k, v in shuffle_delta(spark, before).items():
             extra[f"scale_knn_{k}"] = v
+
+        spark.catalog.clearCache()
+        before = _stages(spark)
+        t0 = time.time()
+        top = ann_ivf_topk_kmeans(
+            emb, query_vec_id=0, k_cells=64, nprobe=8, top_k=10, iters=3
+        ).collect()
+        scale_timings["scale_ann_ivf_kmeans"] = time.time() - t0
+        assert len(top) == 10
+        for k, v in shuffle_delta(spark, before).items():
+            extra[f"scale_ann_{k}"] = v
 
         spark.catalog.clearCache()
         before = _stages(spark)

@@ -251,7 +251,38 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivf_search(emb, cent, QUERY_VEC_ID, IVF_NPROBE, TOP_K)
 
 
-def _assign_nearest(emb: DataFrame, cent: DataFrame) -> DataFrame:
+def _centroid_matrix(cent: DataFrame):
+    """Collect the centroid table driver-side ONCE (bounded — the IVF
+    cell count) and build the shared matmul operands: ``(C, cids, cnorm,
+    dim)``, or None for an empty table.  cid normalized to long: callers
+    hand int cids (k-means init) or long cids (hash-seed oracle path
+    where cid aliases vec_id).  None / null-element / length-mismatched
+    centroid vectors become NaN rows: their denom is NaN, every sim
+    stays at the sentinel, and they can win only the all-sentinel tie —
+    exactly the expression form's null-cosine path."""
+    import numpy as np
+
+    crows = sorted(
+        cent.select(F.col("cid").cast("long"), "cvec").collect(),
+        key=lambda r: r[0],
+    )
+    if not crows:
+        return None
+    dim = max((len(r[1]) for r in crows if r[1] is not None), default=0)
+    C = np.vstack(
+        [
+            np.asarray(r[1], dtype=np.float64)
+            if r[1] is not None and len(r[1]) == dim
+            else np.full(dim, np.nan)
+            for r in crows
+        ]
+    ) if dim else np.zeros((len(crows), 0))
+    cids = np.asarray([r[0] for r in crows], dtype=np.int64)
+    cnorm = np.sqrt((C * C).sum(axis=1))
+    return C, cids, cnorm, dim
+
+
+def _assign_nearest(emb: DataFrame, cent: DataFrame, cmat=None) -> DataFrame:
     """(vec_id, embedding, cid): each vector's nearest centroid, fully
     MAP-SIDE: the k centroids are collected driver-side (bounded — k is
     the IVF cell count, ≤ a few thousand rows; the same class of
@@ -281,32 +312,15 @@ def _assign_nearest(emb: DataFrame, cent: DataFrame) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    # cid normalized to long: callers hand int cids (k-means init) or
-    # long cids (hash-seed oracle path where cid aliases vec_id)
-    crows = sorted(
-        cent.select(F.col("cid").cast("long"), "cvec").collect(),
-        key=lambda r: r[0],
-    )
-    if not crows:
+    if cmat is None:
+        cmat = _centroid_matrix(cent)
+    if cmat is None:
         return (
             emb.select("vec_id", "embedding")
             .withColumn("cid", F.lit(None).cast("long"))
             .where(F.lit(False))
         )
-    # None / null-element centroid vectors become NaN rows: their denom
-    # is NaN, every sim stays at the sentinel, and they can win only the
-    # all-sentinel tie — exactly the expression form's null-cosine path
-    dim = max((len(r[1]) for r in crows if r[1] is not None), default=0)
-    C = np.vstack(
-        [
-            np.asarray(r[1], dtype=np.float64)
-            if r[1] is not None and len(r[1]) == dim
-            else np.full(dim, np.nan)
-            for r in crows
-        ]
-    ) if dim else np.zeros((len(crows), 0))
-    cids = np.asarray([r[0] for r in crows], dtype=np.int64)
-    cnorm = np.sqrt((C * C).sum(axis=1))
+    C, cids, cnorm, dim = cmat
 
     def kernel(batches):
         for pdf in batches:
@@ -623,7 +637,9 @@ def ann_pairwise_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _assign_nprobe_cells(queries: DataFrame, cent: DataFrame, nprobe: int) -> DataFrame:
+def _assign_nprobe_cells(
+    queries: DataFrame, cent: DataFrame, nprobe: int, cmat=None
+) -> DataFrame:
     """(query_id, embedding, cid) — each query row exploded to its
     ``nprobe`` nearest centroids, fully MAP-SIDE (same closure-shipped
     centroid matmul as :func:`_assign_nearest`, same 6dp-round +
@@ -634,29 +650,17 @@ def _assign_nprobe_cells(queries: DataFrame, cent: DataFrame, nprobe: int) -> Da
     import numpy as np
     import pandas as pd
 
-    crows = sorted(
-        cent.select(F.col("cid").cast("long"), "cvec").collect(),
-        key=lambda r: r[0],
-    )
     out_schema = "query_id long, embedding array<float>, cid long"
-    if not crows:
+    if cmat is None:
+        cmat = _centroid_matrix(cent)
+    if cmat is None:
         return (
             queries.select(F.col("vec_id").alias("query_id"), "embedding")
             .withColumn("cid", F.lit(None).cast("long"))
             .where(F.lit(False))
         )
-    dim = max((len(r[1]) for r in crows if r[1] is not None), default=0)
-    C = np.vstack(
-        [
-            np.asarray(r[1], dtype=np.float64)
-            if r[1] is not None and len(r[1]) == dim
-            else np.full(dim, np.nan)
-            for r in crows
-        ]
-    ) if dim else np.zeros((len(crows), 0))
-    cids = np.asarray([r[0] for r in crows], dtype=np.int64)
-    cnorm = np.sqrt((C * C).sum(axis=1))
-    n_take = min(int(nprobe), len(crows))
+    C, cids, cnorm, dim = cmat
+    n_take = min(int(nprobe), len(cids))
 
     def kernel(batches):
         for pdf in batches:
@@ -666,7 +670,7 @@ def _assign_nprobe_cells(queries: DataFrame, cent: DataFrame, nprobe: int) -> Da
             valid = np.array(
                 [e is not None and len(e) == dim for e in embs], dtype=bool
             )
-            sims = np.full((len(embs), len(crows)), -1.5)
+            sims = np.full((len(embs), len(cids)), -1.5)
             if valid.any():
                 E = np.vstack(
                     [np.asarray(e, dtype=np.float64) for e in embs[valid]]
@@ -729,9 +733,12 @@ def ann_knn_join(
     - final per-query top-k: a rank window over ``query_id`` on those
       partials (tiny — no full sort of candidates).
 
-    Pairs with no defined cosine (zero-norm or malformed vectors on
-    either side) are omitted from the candidate set, so they can only be
-    absent from — never wrongly inside — a query's top-k.  With
+    Pairs with no defined cosine (zero-norm vectors, or vectors whose
+    length differs from the quantizer's dimension — the centroid table
+    defines the embedding space, so "malformed" is pinned to ITS dim,
+    never to whatever lengths happen to share a cell) are omitted from
+    the candidate set, so they can only be absent from — never wrongly
+    inside — a query's top-k.  With
     ``exclude_self`` a corpus row whose ``vec_id`` equals ``query_id``
     is skipped (the self-join/kNN-graph case).  Exactness within the
     probed cells is property-tested against a numpy brute force in
@@ -751,8 +758,11 @@ def ann_knn_join(
 
     from pyspark.sql import Window
 
-    best = _assign_nearest(emb, cent)
-    probes = _assign_nprobe_cells(queries, cent, nprobe)
+    # ONE driver-side centroid collect shared by both assignment kernels
+    cmat = _centroid_matrix(cent)
+    cent_dim = cmat[3] if cmat is not None else 0
+    best = _assign_nearest(emb, cent, cmat=cmat)
+    probes = _assign_nprobe_cells(queries, cent, nprobe, cmat=cmat)
     group_keys = ["cid"]
     if cell_salt > 1:
         group_keys = ["cid", "_salt"]
@@ -779,8 +789,10 @@ def ann_knn_join(
         # yields the smallest-vec_id tie-break for free
         corpus_pdf = corpus_pdf.sort_values("vec_id").reset_index(drop=True)
         cvecs = corpus_pdf["embedding"].to_numpy()
-        dims = [len(e) for e in cvecs if e is not None]
-        dim = max(dims, default=0)
+        # the QUANTIZER's dim defines validity: deriving it from the
+        # cell's own rows would let one over-length malformed vector
+        # invalidate every well-formed row sharing its cell
+        dim = cent_dim
         if dim == 0:
             return empty
         c_valid = np.array(

@@ -44,6 +44,59 @@ _PUNCT_PATTERN = _RE_PUNCT.pattern
 _DECODE_SCHEMA = "term string, doc_key long, tf double"
 
 
+def _query_meta(query: str) -> dict | None:
+    """The reference's query preamble, shared by :meth:`DistributedRanker.
+    search` and :meth:`~DistributedRanker.search_many` so the quirk
+    ordering (COLLECTION-constructor HashSet order for the expansion
+    pass, add-loop order for the first pass — Q11) lives in ONE place.
+    None ⇔ no tokens (Java's ``words.length < 1`` guard)."""
+    words = java_query_tokens(query)  # Java trim + ASCII-\s split
+    if not words:
+        return None
+    words_set_order = java_hashset_order(words, initial_from_collection=True)
+    words_sw = [w for w in words_set_order if w not in STOPWORDS]
+    removed = [w for w in words_set_order if w in STOPWORDS]
+    if not words_sw:
+        words_sw = removed
+    word_count: dict[str, int] = {}
+    for w in words:
+        word_count[w] = word_count.get(w, 0) + 1
+    return {
+        "query": query,
+        "words": words,
+        "words_set_order": words_set_order,
+        "first_order": java_hashset_order(words_sw),
+        "sw_set": list(dict.fromkeys(words_sw)),
+        "word_count": word_count,
+    }
+
+
+def _title_tokens_expr():
+    """Token-set of the ``title`` column under the REFERENCE's
+    tokenization (``Ranker.java:223``): punctuation → space, Java trim
+    (chars <= U+0020), split on Java ``\\s+`` (ASCII-only —
+    regexp_replace/split run Java regex on the JVM, so ``\\s+`` and the
+    trim class are exact).  ς→σ folds the final-sigma forms like
+    ``java_query_tokens`` does on the query side (see
+    ``functions/javacompat.py`` — Spark's lower() and Java's toLowerCase
+    disagree on the contextual rule).  Shared by the single-query and
+    batched keyword-bonus paths so a parity fix cannot diverge them."""
+    return F.split(
+        F.regexp_replace(
+            F.lower(
+                F.regexp_replace(
+                    F.regexp_replace("title", _PUNCT_PATTERN, " "),
+                    JAVA_TRIM_PATTERN,
+                    "",
+                )
+            ),
+            "ς",
+            "σ",
+        ),
+        r"\s+",
+    )
+
+
 def _decode_blocks(batches):
     import numpy as np
 
@@ -108,16 +161,12 @@ class DistributedRanker:
         )
 
     def search(self, query: str, limit: int | None = None) -> pd.DataFrame:
-        words = java_query_tokens(query)  # Java trim + ASCII-\s split
-        if not words:  # unreachable, like Java's words.length < 1 guard
+        qm = _query_meta(query)
+        if qm is None:  # unreachable, like Java's words.length < 1 guard
             return self._empty()
-        words_set_order = java_hashset_order(words, initial_from_collection=True)
-        words_sw = [w for w in words_set_order if w not in STOPWORDS]
-        removed = [w for w in words_set_order if w in STOPWORDS]
-        if not words_sw:
-            words_sw = removed
-
-        first_order = java_hashset_order(words_sw)
+        words = qm["words"]
+        words_set_order = qm["words_set_order"]
+        first_order = qm["first_order"]
         hits = self._postings_df(first_order).cache()
         cand = self._candidates(hits)
         n_cand = cand.count()
@@ -141,9 +190,7 @@ class DistributedRanker:
         ntf = read_table(self.spark, self.paths.ntf).select(
             key.alias("doc_key"), "ntf"
         )
-        word_count: dict[str, int] = {}
-        for w in words:
-            word_count[w] = word_count.get(w, 0) + 1
+        word_count = qm["word_count"]
         # idfs resolved driver-side in ONE pruned read (|query| rows) so
         # qdf is a local literal frame — no join — and the Java NaN quirk
         # below is decidable before the plan is built
@@ -190,29 +237,11 @@ class DistributedRanker:
         meta_df = read_table(self.spark, self.paths.doc_meta).select(
             key.alias("doc_key"), "title"
         )
-        sw_set = list(dict.fromkeys(words_sw))
-        # token-set overlap with the REFERENCE's tokenization
-        # (Ranker.java:223): punctuation → space, Java trim (chars <=
-        # U+0020), split on Java \s+ (ASCII-only — regexp_replace/split
-        # run Java regex on the JVM, so \s+ and the trim class are exact;
-        # array_intersect dedups, so no array_distinct is needed).  ς→σ
-        # folds the final-sigma forms like java_query_tokens does on the
-        # query side (see functions/javacompat.py — Spark's lower() and
-        # Java's toLowerCase disagree on the contextual rule).
-        title_toks = F.split(
-            F.regexp_replace(
-                F.lower(
-                    F.regexp_replace(
-                        F.regexp_replace("title", _PUNCT_PATTERN, " "),
-                        JAVA_TRIM_PATTERN,
-                        "",
-                    )
-                ),
-                "ς",
-                "σ",
-            ),
-            r"\s+",
-        )
+        sw_set = qm["sw_set"]
+        # token-set overlap with the REFERENCE's tokenization — the
+        # shared :func:`_title_tokens_expr` (array_intersect dedups, so
+        # no array_distinct is needed)
+        title_toks = _title_tokens_expr()
         n_overlap = F.size(
             F.array_intersect(title_toks, F.array(*[F.lit(t) for t in sw_set]))
         )
@@ -311,27 +340,9 @@ class DistributedRanker:
         """
         metas: dict[int, dict] = {}
         for qid, query in enumerate(queries):
-            words = java_query_tokens(query)
-            if not words:
-                continue
-            words_set_order = java_hashset_order(
-                words, initial_from_collection=True
-            )
-            words_sw = [w for w in words_set_order if w not in STOPWORDS]
-            removed = [w for w in words_set_order if w in STOPWORDS]
-            if not words_sw:
-                words_sw = removed
-            first_order = java_hashset_order(words_sw)
-            word_count: dict[str, int] = {}
-            for w in words:
-                word_count[w] = word_count.get(w, 0) + 1
-            metas[qid] = {
-                "query": query,
-                "words_set_order": words_set_order,
-                "first_order": first_order,
-                "sw_set": list(dict.fromkeys(words_sw)),
-                "word_count": word_count,
-            }
+            qm = _query_meta(query)
+            if qm is not None:
+                metas[qid] = qm
         if not metas:
             out = self._empty()
             out.insert(0, "query_id", pd.Series([], dtype="int32"))
@@ -448,20 +459,7 @@ class DistributedRanker:
             ],
             "query_id int, qraw string, sw_set array<string>, n_sw int",
         )
-        title_toks = F.split(
-            F.regexp_replace(
-                F.lower(
-                    F.regexp_replace(
-                        F.regexp_replace("title", _PUNCT_PATTERN, " "),
-                        JAVA_TRIM_PATTERN,
-                        "",
-                    )
-                ),
-                "ς",
-                "σ",
-            ),
-            r"\s+",
-        )
+        title_toks = _title_tokens_expr()
         n_overlap = F.size(F.array_intersect(title_toks, F.col("sw_set")))
         overlap = F.when(
             F.col("n_sw") > 0, n_overlap.cast("double") / F.col("n_sw")
@@ -533,6 +531,66 @@ def doc_range_bounds(dl: DataFrame, r: int) -> list[tuple[int, int, int]]:
     return [(i, edges[i] + 1, edges[i + 1]) for i in range(len(edges) - 1)]
 
 
+def _bm25_scan_frames(
+    spark: SparkSession,
+    paths: IndexPaths,
+    terms: list[str],
+    n_ranges: int | None,
+    meta: dict,
+):
+    """The scan/range setup SHARED by the single-query and batched
+    local-topk plans — one place owns the df-1 idf-quirk undo, the
+    quantile range bounds, the bucket-partition-pruned + term-pushed
+    block scan, and the broadcast range joins, so the two plans cannot
+    drift.  Returns ``(w_by_term, blocks, dl_r)`` or None when nothing
+    can score (no indexed terms / empty corpus)."""
+    from .bm25 import bm25_idf
+
+    n_docs = meta["n_docs"]
+    wm = (
+        read_table(spark, paths.wmetric)
+        .where(F.col("term").isin(terms))
+        .select("term", "df")
+        .toPandas()
+    )
+    # wmetric df carries the reference's +1 quirk; undo it for BM25 idf
+    w_by_term = {
+        t: bm25_idf(n_docs, int(d) - 1) for t, d in zip(wm["term"], wm["df"])
+    }
+    if not w_by_term:
+        return None
+    dl = read_table(spark, paths.doc_len)
+    r = n_ranges or spark.sparkContext.defaultParallelism
+    bounds = doc_range_bounds(dl, r)
+    if not bounds:  # empty corpus: build writes meta but no doc rows
+        return None
+    # two independent range frames: reusing one lineage on both cogroup
+    # sides trips Spark's ambiguous-self-join check
+    rdf = spark.createDataFrame(bounds, "range_id int, lo long, hi long")
+    rdf_dl = spark.createDataFrame(bounds, "range_id int, lo long, hi long")
+    # the block table is PARTITIONED by bucket: the driver-computed
+    # term->bucket set (pure-Python xxhash64, no job) makes the scan list
+    # only the query terms' bucket directories; the term IN-filter then
+    # pushes into those partitions' row groups
+    tb = sorted({term_bucket(t, meta["buckets"]) for t in w_by_term})
+    blocks = (
+        read_table(spark, paths.blocks)
+        .where(F.col("bucket").isin(tb))
+        .where(F.col("term").isin(list(w_by_term)))
+        .select("term", "block_no", "key_min", "key_max", "ub_bm25",
+                "doc_bytes", "tf_bytes")
+        .join(
+            F.broadcast(rdf),
+            (F.col("key_max") >= F.col("lo")) & (F.col("key_min") <= F.col("hi")),
+        )
+    )
+    dl_r = dl.join(
+        F.broadcast(rdf_dl),
+        (F.col("doc_key") >= F.col("lo")) & (F.col("doc_key") <= F.col("hi")),
+    ).select("range_id", "doc_key", "dl")
+    return w_by_term, blocks, dl_r
+
+
 def distributed_bm25_local_topk(
     spark: SparkSession,
     paths: IndexPaths,
@@ -548,62 +606,18 @@ def distributed_bm25_local_topk(
     range join, cogroup→applyInPandas kernel).  Returns None when the
     query can produce no rows (no terms / no matching terms / empty
     corpus).  ``meta`` lets the wrapper share its one artifact read."""
-    from .bm25 import (
-        BM25_B,
-        _NormLookup,
-        _TermSweep,
-        bm25_idf,
-        block_sweep_topk,
-    )
+    from .bm25 import BM25_B, _NormLookup, _TermSweep, block_sweep_topk
 
     if meta is None:
         meta = read_meta(paths)
-    n_docs, avgdl = meta["n_docs"], meta.get("avgdl") or 1.0
+    avgdl = meta.get("avgdl") or 1.0
     terms = list(dict.fromkeys(_RE_PUNCT.sub(" ", query).strip().lower().split()))
     if not terms:
         return None
-    # idf weights: one tiny term-pruned read (wmetric df carries the
-    # reference's +1 quirk; undo it for BM25 idf, as BM25Engine does)
-    wm = (
-        read_table(spark, paths.wmetric)
-        .where(F.col("term").isin(terms))
-        .select("term", "df")
-        .toPandas()
-    )
-    weights = {t: bm25_idf(n_docs, int(d) - 1) for t, d in zip(wm["term"], wm["df"])}
-    if not weights:
+    frames = _bm25_scan_frames(spark, paths, terms, n_ranges, meta)
+    if frames is None:
         return None
-
-    dl = read_table(spark, paths.doc_len)
-    r = n_ranges or spark.sparkContext.defaultParallelism
-    bounds = doc_range_bounds(dl, r)
-    if not bounds:  # empty corpus: build writes meta but no doc rows
-        return None
-    # two independent range frames: reusing one lineage on both cogroup
-    # sides trips Spark's ambiguous-self-join check
-    rdf = spark.createDataFrame(bounds, "range_id int, lo long, hi long")
-    rdf_dl = spark.createDataFrame(bounds, "range_id int, lo long, hi long")
-
-    # the block table is PARTITIONED by bucket: the driver-computed
-    # term->bucket set (pure-Python xxhash64, no job) makes the scan list
-    # only the query's bucket directories; the term IN-filter then pushes
-    # into those partitions' row groups
-    tb = sorted({term_bucket(t, meta["buckets"]) for t in weights})
-    blocks = (
-        read_table(spark, paths.blocks)
-        .where(F.col("bucket").isin(tb))
-        .where(F.col("term").isin(list(weights)))
-        .select("term", "block_no", "key_min", "key_max", "ub_bm25",
-                "doc_bytes", "tf_bytes")
-        .join(
-            F.broadcast(rdf),
-            (F.col("key_max") >= F.col("lo")) & (F.col("key_min") <= F.col("hi")),
-        )
-    )
-    dl_r = dl.join(
-        F.broadcast(rdf_dl),
-        (F.col("doc_key") >= F.col("lo")) & (F.col("doc_key") <= F.col("hi")),
-    ).select("range_id", "doc_key", "dl")
+    weights, blocks, dl_r = frames
 
     b_avgdl, b_weights, b_k = float(avgdl), dict(weights), int(k)
 
@@ -713,11 +727,11 @@ def distributed_bm25_local_topk_many(
     pytest-pinned rank-identical to the single-query path and the
     single-node engine (``tests/test_distributed.py``).
     """
-    from .bm25 import BM25_B, _NormLookup, _TermSweep, bm25_idf, block_sweep_topk
+    from .bm25 import BM25_B, _NormLookup, _TermSweep, block_sweep_topk
 
     if meta is None:
         meta = read_meta(paths)
-    n_docs, avgdl = meta["n_docs"], meta.get("avgdl") or 1.0
+    avgdl = meta.get("avgdl") or 1.0
     per_q_terms: dict[int, list[str]] = {}
     for qid, q in enumerate(queries):
         terms = list(dict.fromkeys(_RE_PUNCT.sub(" ", q).strip().lower().split()))
@@ -726,16 +740,10 @@ def distributed_bm25_local_topk_many(
     union_terms = sorted({t for ts in per_q_terms.values() for t in ts})
     if not union_terms:
         return None
-    wm = (
-        read_table(spark, paths.wmetric)
-        .where(F.col("term").isin(union_terms))
-        .select("term", "df")
-        .toPandas()
-    )
-    # wmetric df carries the reference's +1 quirk; undo it for BM25 idf
-    w_by_term = {
-        t: bm25_idf(n_docs, int(d) - 1) for t, d in zip(wm["term"], wm["df"])
-    }
+    frames = _bm25_scan_frames(spark, paths, union_terms, n_ranges, meta)
+    if frames is None:
+        return None
+    w_by_term, blocks, dl_r = frames
     q_weights = {
         qid: {t: w_by_term[t] for t in ts if t in w_by_term}
         for qid, ts in per_q_terms.items()
@@ -743,32 +751,6 @@ def distributed_bm25_local_topk_many(
     q_weights = {qid: w for qid, w in q_weights.items() if w}
     if not q_weights:
         return None
-    active_terms = sorted({t for w in q_weights.values() for t in w})
-
-    dl = read_table(spark, paths.doc_len)
-    r = n_ranges or spark.sparkContext.defaultParallelism
-    bounds = doc_range_bounds(dl, r)
-    if not bounds:
-        return None
-    rdf = spark.createDataFrame(bounds, "range_id int, lo long, hi long")
-    rdf_dl = spark.createDataFrame(bounds, "range_id int, lo long, hi long")
-
-    tb = sorted({term_bucket(t, meta["buckets"]) for t in active_terms})
-    blocks = (
-        read_table(spark, paths.blocks)
-        .where(F.col("bucket").isin(tb))
-        .where(F.col("term").isin(active_terms))
-        .select("term", "block_no", "key_min", "key_max", "ub_bm25",
-                "doc_bytes", "tf_bytes")
-        .join(
-            F.broadcast(rdf),
-            (F.col("key_max") >= F.col("lo")) & (F.col("key_min") <= F.col("hi")),
-        )
-    )
-    dl_r = dl.join(
-        F.broadcast(rdf_dl),
-        (F.col("doc_key") >= F.col("lo")) & (F.col("doc_key") <= F.col("hi")),
-    ).select("range_id", "doc_key", "dl")
 
     b_avgdl, b_qweights, b_k = float(avgdl), dict(q_weights), int(k)
     _empty = pd.DataFrame(
@@ -887,7 +869,7 @@ def distributed_bm25_topk_many(
         }
     )
     out_parts = []
-    for qid, g in pdf.sort_values("query_id").groupby("query_id", sort=True):
+    for qid, g in pdf.groupby("query_id", sort=True):
         top = g.sort_values(
             ["score", "doc_key"], ascending=[False, True], kind="mergesort"
         ).head(k)

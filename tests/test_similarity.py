@@ -230,3 +230,39 @@ def test_ann_knn_join_matches_bruteforce(spark):
         assert list(got["query_id"]) == list(exp["query_id"]), excl
         assert list(got["vec_id"]) == list(exp["vec_id"]), excl
         assert np.allclose(got["cosine"], exp["cosine"], atol=0), excl
+
+
+def test_ann_knn_join_overlength_vector_does_not_poison_cell(spark):
+    """Regression: validity is pinned to the QUANTIZER's dimension.  A
+    single over-length malformed corpus vector used to raise the
+    kernel's per-cell max-length dim, invalidating every well-formed
+    vector and probe in its cell and silently dropping all of that
+    cell's candidates.  The join over a corpus with one dim-6 row among
+    dim-4 rows must equal the join over the same corpus without it."""
+    import numpy as np
+    import pandas as pd
+
+    from holi_search_engine_spark.operators.similarity import ann_knn_join
+
+    rng = np.random.default_rng(5)
+    mat = rng.integers(-3, 4, size=(20, 4)).astype(float)
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(mat)]
+    bad = (99, [1.0, 2.0, 3.0, 4.0, 5.0, 6.0])
+    schema = "vec_id long, embedding array<float>"
+    clean = spark.createDataFrame(rows, schema)
+    dirty = spark.createDataFrame(rows + [bad], schema)
+    cent = spark.createDataFrame(
+        [(0, [float(x) for x in mat[0]]), (1, [float(x) for x in mat[7]])],
+        "cid long, cvec array<float>",
+    )
+    queries = spark.createDataFrame(rows[:5], schema)
+    a = (
+        ann_knn_join(clean, queries, cent, nprobe=1, top_k=3)
+        .toPandas().sort_values(["query_id", "vec_id"]).reset_index(drop=True)
+    )
+    b = (
+        ann_knn_join(dirty, queries, cent, nprobe=1, top_k=3)
+        .toPandas().sort_values(["query_id", "vec_id"]).reset_index(drop=True)
+    )
+    assert len(a) > 0
+    pd.testing.assert_frame_equal(a, b)
