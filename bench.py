@@ -233,143 +233,34 @@ def main() -> None:
     # (no external data); excluded from `value` (different scale tier).
     scale_timings: dict[str, float] = {}
     if SCALE_DOCS > 0:
-        from pyspark.sql import functions as F
+        # each scale entry runs in its OWN SUBPROCESS with a fresh JVM:
+        # these 1.3M-row Arrow-heavy entries measurably tax each other
+        # through the shared executor heap (knn measured 68-88 s after
+        # the suite/k-means churn vs a reproducible ~20-26 s fresh;
+        # k-means measured 37-40 s after knn vs 10-21 s fresh) — the
+        # walls are meaningless as plan evidence unless each entry owns
+        # a clean engine state, exactly like the per-leg fresh JVMs of
+        # BENCH/scaling.py.  Input generation repeats per child and is
+        # excluded from every timing; ~15 s JVM startup per entry is the
+        # price of reproducible numbers.  The suite session stops first
+        # so each child owns the box.
+        import subprocess
 
-        from holi_search_engine_spark.operators.dedup import lsh_near_dup_pairs
-        from holi_search_engine_spark.operators.similarity import (
-            ann_ivf_topk_kmeans,
-        )
-
-        sc_dir = os.environ.get("BENCH_SCALE_DIR", "/dev/shm/holi_bench_scale")
-        shutil.rmtree(sc_dir, ignore_errors=True)
-        convs = max(1, SCALE_DOCS * 20000 // 129984)  # ~6.5 turns/conv
-        docs_src = generate_transcripts_df(spark, convs).select(
-            F.xxhash64(F.concat_ws(":", "conv_id", "turn_idx")).alias("doc_id"),
-            "text",
-        )
-        docs_src.write.parquet(f"{sc_dir}/docs")  # generation excluded
-        docs = spark.read.parquet(f"{sc_dir}/docs")
-        n_docs = docs.count()
-        extra["scale_docs_n"] = float(n_docs)
-
-        # ANN runs FIRST: the LSH entry churns ~80M cached shingle rows
-        # through the executor heap, and running the Arrow-heavy k-means
-        # right after it measured 10x its clean-session wall (208s vs
-        # 21.8s) — old-gen pressure, not the plan
-        dim = 64
-        emb = spark.range(n_docs).select(
-            F.col("id").alias("vec_id"),
-            F.transform(
-                F.sequence(F.lit(1), F.lit(dim)),
-                lambda i: (
-                    (F.pmod(F.xxhash64(F.col("id") * dim + i), F.lit(2001)) - 1000)
-                    / 1000.0
-                ).cast("float"),
-            ).alias("embedding"),
-        )
-        emb.write.parquet(f"{sc_dir}/emb")
-        emb = spark.read.parquet(f"{sc_dir}/emb")
-        # ---- kNN JOIN runs before the k-means entry: both are
-        # Arrow-heavy, and the fresher the JVM heap, the less old-gen
-        # drag (a full-bench run measured the knn entry 88 s AFTER the
-        # k-means churn vs 26 s in a fresh session at the same plan).
-        # Deterministic first-64 centroids: the entry measures the
-        # JOIN, not quantizer training (that is scale_ann_ivf_kmeans).
-        from holi_search_engine_spark.operators.similarity import ann_knn_join
-
-        before = _stages(spark)
-        t0 = time.time()
-        cent64 = emb.where(F.col("vec_id") < 64).select(
-            F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
-        )
-        knn_q = emb.where(F.col("vec_id") % 130 == 0)
-        n_knn = ann_knn_join(
-            emb, knn_q, cent64, nprobe=8, top_k=10, exclude_self=True,
-            cell_salt=8,  # 64 cells alone cap the cogroup at 64 tasks;
-            # salting split the hot cells and measured 88 s → 26 s here
-        ).count()
-        scale_timings["scale_ann_knn_join_10k"] = time.time() - t0
-        extra["scale_knn_rows"] = float(n_knn)
-        for k, v in shuffle_delta(spark, before).items():
-            extra[f"scale_knn_{k}"] = v
-
-        spark.catalog.clearCache()
-        before = _stages(spark)
-        t0 = time.time()
-        top = ann_ivf_topk_kmeans(
-            emb, query_vec_id=0, k_cells=64, nprobe=8, top_k=10, iters=3
-        ).collect()
-        scale_timings["scale_ann_ivf_kmeans"] = time.time() - t0
-        assert len(top) == 10
-        for k, v in shuffle_delta(spark, before).items():
-            extra[f"scale_ann_{k}"] = v
-
-        spark.catalog.clearCache()
-        before = _stages(spark)
-        t0 = time.time()
-        pairs = lsh_near_dup_pairs(docs, n_hashes=128, threshold=0.5)
-        n_pairs = pairs.count()
-        scale_timings["scale_lsh_near_dup_k128"] = time.time() - t0
-        pairs.unpersist()
-        extra["scale_lsh_pairs_found"] = float(n_pairs)
-        for k, v in shuffle_delta(spark, before).items():
-            extra[f"scale_lsh_{k}"] = v
-
-        # ---- distributed BM25 at the scale tier (verdict r4 #5): build
-        # the block index over the SAME ~1.3M-turn corpus the LSH entry
-        # used, then run the doc-key-range-partitioned query plan
-        # (query/distributed.py) at pinned n_ranges=32 — the 10^12-turn
-        # path gets a wall-clock + shuffle number next to its shape audit.
-        spark.catalog.clearCache()
-        from holi_search_engine_spark.query.distributed import (
-            distributed_bm25_topk,
-        )
-
-        corpus_sc_dir = f"{sc_dir}/transcripts"
-        generate_transcripts_df(spark, convs).write.parquet(corpus_sc_dir)
-        corpus_sc = spark.read.parquet(corpus_sc_dir)
-        t0 = time.time()
-        paths_sc = build_index(
-            spark, corpus_sc, f"{sc_dir}/idx", dictionary, buckets=8,
-            build_blocks=True, build_postings_table=False,
-        )
-        scale_timings["scale_bm25_index_build"] = time.time() - t0
-        before = _stages(spark)
-        n_q = 10
-        t0 = time.time()
-        got_rows = 0
-        for _, qtext in queries[:n_q]:
-            got_rows += len(
-                distributed_bm25_topk(spark, paths_sc, qtext, 10, n_ranges=32)
+        spark.stop()
+        for entry in ("knn", "kmeans", "lsh", "bm25"):
+            child = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--scale-only", "--entry", entry],
+                capture_output=True, text=True, timeout=3600,
             )
-        wall_q = time.time() - t0
-        scale_timings["scale_bm25_distributed"] = wall_q
-        extra["scale_bm25_mean_query_sec"] = wall_q / n_q
-        extra["scale_bm25_rows_returned"] = float(got_rows)
-        for k, v in shuffle_delta(spark, before).items():
-            extra[f"scale_bm25_{k}"] = v
-
-        # same 10 queries through the batched plan: ONE job chain (one
-        # wmetric read, one range-bounds pass, one block scan on the
-        # union of terms, one cogroup) instead of 10 — the batch-scoring
-        # amortization the single-query loop above cannot express
-        from holi_search_engine_spark.query.distributed import (
-            distributed_bm25_topk_many,
-        )
-
-        before = _stages(spark)
-        t0 = time.time()
-        batch = distributed_bm25_topk_many(
-            spark, paths_sc, [q for _, q in queries[:n_q]], 10, n_ranges=32
-        )
-        wall_b = time.time() - t0
-        scale_timings["scale_bm25_distributed_batch"] = wall_b
-        extra["scale_bm25_batch_mean_query_sec"] = wall_b / n_q
-        extra["scale_bm25_batch_rows_returned"] = float(len(batch))
-        for k, v in shuffle_delta(spark, before).items():
-            extra[f"scale_bm25_batch_{k}"] = v
-
-        shutil.rmtree(sc_dir, ignore_errors=True)
+            if child.returncode != 0:
+                sys.stderr.write(child.stdout[-2000:] + child.stderr[-4000:])
+                raise RuntimeError(f"scale-tier subprocess {entry} failed")
+            payload = json.loads(
+                [ln for ln in child.stdout.splitlines() if ln.startswith("{")][-1]
+            )
+            scale_timings.update(payload["scale_timings"])
+            extra.update(payload["scale_extra"])
         timings.update({k: round(v, 3) for k, v in scale_timings.items()})
 
     total = sum(v for k, v in timings.items() if not k.startswith("scale_"))
@@ -412,8 +303,174 @@ def main() -> None:
             }
         )
     )
+    if SCALE_DOCS <= 0:
+        spark.stop()
+
+
+def scale_main(entry: str) -> None:
+    """ONE sf1.0-scale evidence entry (verdict r3 #6 + r4 #5), run in
+    its own JVM (see the dispatch comment in ``main`` — the entries tax
+    each other through the shared executor heap, so each gets a fresh
+    process): ``knn`` = the IVF kNN join, ``kmeans`` = IVF k-means ANN,
+    ``lsh`` = production-parameter LSH near-dup, ``bm25`` = the
+    distributed BM25 paths (looped + batched) over a freshly built
+    1.3M-turn block index.  Wall + shuffle volume recorded; inputs are
+    synthesized deterministically in-Spark (no external data); excluded
+    from the suite `value` (different tier).  Prints ONE JSON line
+    {"scale_timings": ..., "scale_extra": ...} consumed by the parent
+    bench process."""
+    os.environ["SPARK_GRAFT_CPUS"] = CPUS
+    from pyspark.sql import functions as F
+
+    from holi_search_engine_spark.corpus import (
+        generate_transcripts_df,
+        make_query_fixtures,
+        make_vocabulary,
+    )
+    from holi_search_engine_spark.operators.dedup import lsh_near_dup_pairs
+    from holi_search_engine_spark.operators.similarity import (
+        ann_ivf_topk_kmeans,
+        ann_knn_join,
+    )
+    from holi_search_engine_spark.plans.index_build import build_index
+    from holi_search_engine_spark.query.distributed import (
+        distributed_bm25_topk,
+        distributed_bm25_topk_many,
+    )
+    from holi_search_engine_spark.session import get_spark
+
+    spark = get_spark("holi-bench-scale", extra_conf={"spark.ui.enabled": "true"})
+    vocab = make_vocabulary()
+    dictionary = frozenset(vocab)
+    queries = make_query_fixtures(vocab)
+    scale_timings: dict[str, float] = {}
+    extra: dict[str, float] = {}
+
+    sc_dir = os.environ.get("BENCH_SCALE_DIR", "/dev/shm/holi_bench_scale")
+    shutil.rmtree(sc_dir, ignore_errors=True)
+    convs = max(1, SCALE_DOCS * 20000 // 129984)  # ~6.5 turns/conv
+
+    def make_emb():
+        dim = 64
+        emb = spark.range(SCALE_DOCS).select(
+            F.col("id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(1), F.lit(dim)),
+                lambda i: (
+                    (F.pmod(F.xxhash64(F.col("id") * dim + i), F.lit(2001)) - 1000)
+                    / 1000.0
+                ).cast("float"),
+            ).alias("embedding"),
+        )
+        emb.write.parquet(f"{sc_dir}/emb")  # generation excluded
+        return spark.read.parquet(f"{sc_dir}/emb")
+
+    if entry == "knn":
+        emb = make_emb()
+        # deterministic first-64 centroids: the entry measures the
+        # JOIN, not quantizer training (that is scale_ann_ivf_kmeans)
+        before = _stages(spark)
+        t0 = time.time()
+        cent64 = emb.where(F.col("vec_id") < 64).select(
+            F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+        )
+        knn_q = emb.where(F.col("vec_id") % 130 == 0)
+        n_knn = ann_knn_join(
+            emb, knn_q, cent64, nprobe=8, top_k=10, exclude_self=True,
+            cell_salt=8,  # 64 cells alone cap the cogroup at 64 tasks
+        ).count()
+        scale_timings["scale_ann_knn_join_10k"] = time.time() - t0
+        extra["scale_knn_rows"] = float(n_knn)
+        for k, v in shuffle_delta(spark, before).items():
+            extra[f"scale_knn_{k}"] = v
+
+    if entry == "kmeans":
+        emb = make_emb()
+        before = _stages(spark)
+        t0 = time.time()
+        top = ann_ivf_topk_kmeans(
+            emb, query_vec_id=0, k_cells=64, nprobe=8, top_k=10, iters=3
+        ).collect()
+        scale_timings["scale_ann_ivf_kmeans"] = time.time() - t0
+        assert len(top) == 10
+        for k, v in shuffle_delta(spark, before).items():
+            extra[f"scale_ann_{k}"] = v
+
+    if entry == "lsh":
+        docs_src = generate_transcripts_df(spark, convs).select(
+            F.xxhash64(F.concat_ws(":", "conv_id", "turn_idx")).alias("doc_id"),
+            "text",
+        )
+        docs_src.write.parquet(f"{sc_dir}/docs")  # generation excluded
+        docs = spark.read.parquet(f"{sc_dir}/docs")
+        extra["scale_docs_n"] = float(docs.count())
+        before = _stages(spark)
+        t0 = time.time()
+        pairs = lsh_near_dup_pairs(docs, n_hashes=128, threshold=0.5)
+        n_pairs = pairs.count()
+        scale_timings["scale_lsh_near_dup_k128"] = time.time() - t0
+        pairs.unpersist()
+        extra["scale_lsh_pairs_found"] = float(n_pairs)
+        for k, v in shuffle_delta(spark, before).items():
+            extra[f"scale_lsh_{k}"] = v
+
+    # distributed BM25 (verdict r4 #5): build the block index over the
+    # same-sized ~1.3M-turn corpus, then the doc-key-range-partitioned
+    # query plan at pinned n_ranges=32 — looped per query, then batched.
+    corpus_sc_dir = f"{sc_dir}/transcripts"
+    if entry == "bm25":
+        generate_transcripts_df(spark, convs).write.parquet(corpus_sc_dir)
+        corpus_sc = spark.read.parquet(corpus_sc_dir)
+        t0 = time.time()
+        paths_sc = build_index(
+            spark, corpus_sc, f"{sc_dir}/idx", dictionary, buckets=8,
+            build_blocks=True, build_postings_table=False,
+        )
+        scale_timings["scale_bm25_index_build"] = time.time() - t0
+        before = _stages(spark)
+        n_q = 10
+        t0 = time.time()
+        got_rows = 0
+        for _, qtext in queries[:n_q]:
+            got_rows += len(
+                distributed_bm25_topk(spark, paths_sc, qtext, 10, n_ranges=32)
+            )
+        wall_q = time.time() - t0
+        scale_timings["scale_bm25_distributed"] = wall_q
+        extra["scale_bm25_mean_query_sec"] = wall_q / n_q
+        extra["scale_bm25_rows_returned"] = float(got_rows)
+        for k, v in shuffle_delta(spark, before).items():
+            extra[f"scale_bm25_{k}"] = v
+
+        # same 10 queries through the batched plan: ONE job chain (one
+        # wmetric read, one range-bounds pass, one block scan on the
+        # union of terms, one cogroup) instead of 10
+        before = _stages(spark)
+        t0 = time.time()
+        batch = distributed_bm25_topk_many(
+            spark, paths_sc, [q for _, q in queries[:n_q]], 10, n_ranges=32
+        )
+        wall_b = time.time() - t0
+        scale_timings["scale_bm25_distributed_batch"] = wall_b
+        extra["scale_bm25_batch_mean_query_sec"] = wall_b / n_q
+        extra["scale_bm25_batch_rows_returned"] = float(len(batch))
+        for k, v in shuffle_delta(spark, before).items():
+            extra[f"scale_bm25_batch_{k}"] = v
+
+    shutil.rmtree(sc_dir, ignore_errors=True)
+    print(
+        json.dumps(
+            {
+                "scale_timings": {k: round(v, 3) for k, v in scale_timings.items()},
+                "scale_extra": {k: round(v, 3) for k, v in extra.items()},
+            }
+        )
+    )
     spark.stop()
 
 
 if __name__ == "__main__":
-    main()
+    if "--scale-only" in sys.argv:
+        scale_main(sys.argv[sys.argv.index("--entry") + 1])
+    else:
+        main()
