@@ -113,7 +113,7 @@ def main() -> None:
         make_vocabulary,
     )
     from holi_search_engine_spark.operators import dedup, events, fulltext
-    from holi_search_engine_spark.plans.index_build import build_index, read_meta
+    from holi_search_engine_spark.plans.index_build import build_index
     from holi_search_engine_spark.query.ranker import RankerEngine
     from holi_search_engine_spark.session import get_spark
 
@@ -296,9 +296,12 @@ def main() -> None:
                     "banding; k-means IVF 64 cells nprobe=8; distributed "
                     "BM25 over a freshly built 1.3M-turn block index at "
                     "pinned n_ranges=32, 10 fixture queries — looped "
-                    "per-query and again batched in one job); excluded "
-                    "from `value` (different scale tier), shuffle volume "
-                    "in extra.scale_*",
+                    "per-query and again batched in one job; IVF kNN "
+                    "join 10k queries x 1.3M corpus); each entry runs "
+                    "in its own subprocess JVM (fresh heap — see "
+                    "BENCH/BASELINE.md); excluded from `value` "
+                    "(different scale tier), shuffle volume in "
+                    "extra.scale_*",
                 },
             }
         )
