@@ -4,12 +4,15 @@ For each random corpus (same generator as ``scripts/soak_javadiff.py``,
 whose compiled-Java differential pins the single-node ``RankerEngine``
 bit-exactly), this drives the two distributed plans and requires:
 
-- ``DistributedRanker.search`` rank-identical to ``RankerEngine.search``:
-  same doc sequence, scores equal to 1e-9 (the Spark-side aggregation
-  sums floats in partition order, so bit-identity is not the contract —
-  see PLANS.md `distributed_bm25_topk` notes), and for NaN-poisoned
-  queries (negative idf) the same candidate SET with all-NaN scores
-  on both sides (NaN order is unspecified in the reference too, Q10).
+- ``DistributedRanker.search`` rank-equivalent to ``RankerEngine.search``
+  under the documented contract (``rank_check``): same doc set, per-doc
+  scores within 1e-9, sequence non-increasing in the engine's scores up
+  to 1e-9 — NOT exact sequence equality, because the Spark aggregation
+  sums score terms in partition order rather than the engine's HashMap
+  order (Q12), so 1-ulp near-ties can legitimately swap (first seen at
+  seed 119).  For NaN-poisoned queries (negative idf) the same
+  candidate SET with all-NaN scores on both sides (NaN order is
+  unspecified in the reference too, Q10).
 - ``distributed_bm25_topk`` rank-identical (docs AND scores to 1e-9) to
   ``BM25Engine.search`` at n_ranges in {1, 5} — the degenerate
   single-task case and a forced multi-task split.
@@ -26,7 +29,11 @@ batch-path addition with seeds 11,22,33 x 12 queries including the
 all-queries bm25 batch check — 0 mismatches.  Re-run after the
 reference-semantics batch replay (``search_many``) landed, seeds
 13,29 and 41,57,63 x 12 queries with both batch checks — 0 mismatches.
-Exits nonzero on any mismatch.
+Seeds 71,88,95,104,119 then caught the strict-order check itself being
+wrong (the seed-119 near-tie swap described above, flagged on BOTH the
+single and batched paths — diagnosed to 1-ulp engine scores summed
+equal Spark-side); re-run with ``rank_check`` over the same five seeds
+— 0 mismatches.  Exits nonzero on any mismatch.
 """
 import os
 import random
@@ -50,6 +57,33 @@ from holi_search_engine_spark.query.distributed import (  # noqa: E402
 from holi_search_engine_spark.query.ranker import RankerEngine  # noqa: E402
 
 from soak_javadiff import make_queries  # noqa: E402  (scripts/ on sys.path)
+
+
+def rank_check(exp, got, atol=1e-9):
+    """The Spark paths' actual rank contract vs the single-node engine:
+    same doc set, per-doc scores within ``atol``, and the Spark
+    sequence non-increasing in the ENGINE's scores up to ``atol``.
+    Exact sequence equality is STRONGER than the documented contract —
+    the Spark aggregation sums score terms in partition order, not the
+    engine's HashMap order (quirk Q12), so two docs whose engine scores
+    differ by 1 ulp can legitimately swap (first seen at seed 119:
+    engine 0.06386309394396882 vs ...88, Spark computed them equal and
+    broke the tie doc-asc).  A genuinely misplaced doc still fails: its
+    engine score is out of non-increasing order by more than atol.
+    Returns None or a short failure tag."""
+    if len(exp) != len(got):
+        return "len"
+    es = dict(zip(exp["doc_key"], exp["score"].astype(float)))
+    if set(es) != set(got["doc_key"]):
+        return "docset"
+    for d, s in zip(got["doc_key"], got["score"].astype(float)):
+        if abs(es[d] - s) > atol:
+            return "score"
+    seq = [es[d] for d in got["doc_key"]]
+    for i in range(len(seq) - 1):
+        if seq[i] < seq[i + 1] - atol:
+            return "order"
+    return None
 
 
 def run_corpus(spark, vocab, seed, workdir, n_queries):
@@ -87,11 +121,9 @@ def run_corpus(spark, vocab, seed, workdir, n_queries):
                 if e_nan != g_nan or set(exp["doc_key"]) != set(got["doc_key"]):
                     fails.append((q, "ranker-nan", e_nan, g_nan))
                 continue
-            if list(got["doc_key"]) != list(exp["doc_key"]):
-                fails.append((q, "ranker-order", None, None))
-                continue
-            if not np.allclose(got["score"], exp["score"], atol=1e-9):
-                fails.append((q, "ranker-score", None, None))
+            bad = rank_check(exp, got)
+            if bad:
+                fails.append((q, f"ranker-{bad}", None, None))
                 continue
     # BM25 distributed on a subset (each query is several Spark jobs)
     for q in queries[: max(4, n_queries // 4)]:
@@ -121,11 +153,10 @@ def run_corpus(spark, vocab, seed, workdir, n_queries):
             if e_nan != g["score"].isna().all() or \
                set(g["doc_key"]) != set(exp["doc_key"]):
                 fails.append((q, "ranker-batch-nan", None, None))
-        elif list(g["doc_key"]) != list(exp["doc_key"]):
-            fails.append((q, "ranker-batch-order", None, None))
-        elif not np.allclose(g["score"].to_numpy(dtype=float),
-                             exp["score"].to_numpy(dtype=float), atol=1e-9):
-            fails.append((q, "ranker-batch-score", None, None))
+        else:
+            bad = rank_check(exp, g)
+            if bad:
+                fails.append((q, f"ranker-batch-{bad}", None, None))
     # the batched bm25 plan: ALL of the corpus's queries in one job, each
     # query's slice rank-identical to the engine
     batch = distributed_bm25_topk_many(spark, paths, queries, 10, n_ranges=5)
