@@ -71,6 +71,28 @@ def _query_meta(query: str) -> dict | None:
     }
 
 
+def _keyword_bonus_expr(qraw, sw_set, n_sw):
+    """The reference's title keyword bonus (``Ranker.java:223-232``) over
+    COLUMN operands — literals in the single-query path, per-query
+    columns in the batch — so the formula (full-substring 10.0, else
+    overlap ≥ 0.6 → overlap·10, else 0) is defined ONCE.
+    ``array_intersect`` dedups, so no array_distinct is needed."""
+    n_overlap = F.size(F.array_intersect(_title_tokens_expr(), sw_set))
+    overlap = F.when(
+        n_sw > F.lit(0), n_overlap.cast("double") / n_sw
+    ).otherwise(F.lit(0.0))
+    return (
+        F.when(F.col("title").contains(qraw), F.lit(10.0))
+        .when(overlap >= 0.6, overlap * 10)
+        .otherwise(F.lit(0.0))
+    )
+
+
+def _final_score_expr(kw):
+    """``Ranker.java:255``: 3·tf-idf + 0.75·pagerank + keyword bonus."""
+    return 3 * F.col("weight") + 0.75 * F.col("page_rank") + kw
+
+
 def _title_tokens_expr():
     """Token-set of the ``title`` column under the REFERENCE's
     tokenization (``Ranker.java:223``): punctuation → space, Java trim
@@ -238,31 +260,16 @@ class DistributedRanker:
             key.alias("doc_key"), "title"
         )
         sw_set = qm["sw_set"]
-        # token-set overlap with the REFERENCE's tokenization — the
-        # shared :func:`_title_tokens_expr` (array_intersect dedups, so
-        # no array_distinct is needed)
-        title_toks = _title_tokens_expr()
-        n_overlap = F.size(
-            F.array_intersect(title_toks, F.array(*[F.lit(t) for t in sw_set]))
+        # the shared kw/score builders with LITERAL operands (sw_set is
+        # never empty here — the stopword fallback guarantees it — so
+        # the builder's n_sw>0 guard is equivalent to the old Python
+        # `if sw_set` branch)
+        kw = _keyword_bonus_expr(
+            F.lit(query),
+            F.array(*[F.lit(t) for t in sw_set]),
+            F.lit(len(sw_set)),
         )
-        overlap = (
-            (n_overlap.cast("double") / F.lit(len(sw_set))) if sw_set else F.lit(0.0)
-        )
-        kw = (
-            F.when(F.col("title").contains(query), F.lit(10.0))
-            .when(overlap >= 0.6, overlap * 10)
-            .otherwise(F.lit(0.0))
-        )
-        base = base.join(meta_df, "doc_key", "left")
-        # static prior 0.75·pagerank (Ranker.java:255): per-candidate join
-        # against the doc-keyed pageranks artifact when built, else 0
-        if self._has_pagerank:
-            pr = read_table(self.spark, self.paths.pageranks).select(
-                "doc_key", F.col("rank").alias("page_rank")
-            )
-            base = base.join(pr, "doc_key", "left").na.fill({"page_rank": 0.0})
-        else:
-            base = base.withColumn("page_rank", F.lit(0.0))
+        base = self._with_pagerank(base.join(meta_df, "doc_key", "left"))
         result = (
             base.select(
                 "doc_key",
@@ -270,7 +277,7 @@ class DistributedRanker:
                 F.col("weight").alias("tf_idf_weight"),
                 "page_rank",
                 kw.alias("keyword_match"),
-                (3 * F.col("weight") + 0.75 * F.col("page_rank") + kw).alias("score"),
+                _final_score_expr(kw).alias("score"),
             )
             .orderBy(F.col("score").desc(), "doc_key")
         )
@@ -286,6 +293,17 @@ class DistributedRanker:
         cols = [*self.doc_cols, "doc_key", "occurrence", "tf_idf_weight",
                 "page_rank", "keyword_match", "score"]
         return pd.DataFrame(columns=cols)
+
+    def _with_pagerank(self, base: DataFrame) -> DataFrame:
+        """Static prior 0.75·pagerank (``Ranker.java:255``): per-candidate
+        join against the doc-keyed pageranks artifact when built, else 0
+        — shared by the single-query and batched scorers."""
+        if self._has_pagerank:
+            pr = read_table(self.spark, self.paths.pageranks).select(
+                "doc_key", F.col("rank").alias("page_rank")
+            )
+            return base.join(pr, "doc_key", "left").na.fill({"page_rank": 0.0})
+        return base.withColumn("page_rank", F.lit(0.0))
 
     def _postings_df_many(self, qid_orders: dict[int, list[str]]) -> DataFrame:
         """(query_id, term, ord, doc_key, tf) for MANY queries' lookup
@@ -459,26 +477,13 @@ class DistributedRanker:
             ],
             "query_id int, qraw string, sw_set array<string>, n_sw int",
         )
-        title_toks = _title_tokens_expr()
-        n_overlap = F.size(F.array_intersect(title_toks, F.col("sw_set")))
-        overlap = F.when(
-            F.col("n_sw") > 0, n_overlap.cast("double") / F.col("n_sw")
-        ).otherwise(F.lit(0.0))
-        kw = (
-            F.when(F.col("title").contains(F.col("qraw")), F.lit(10.0))
-            .when(overlap >= 0.6, overlap * 10)
-            .otherwise(F.lit(0.0))
-        )
-        base = base.join(meta_df, "doc_key", "left").join(
-            F.broadcast(qmeta), "query_id"
-        )
-        if self._has_pagerank:
-            pr = read_table(self.spark, self.paths.pageranks).select(
-                "doc_key", F.col("rank").alias("page_rank")
+        # the shared kw/score builders with per-query COLUMN operands
+        kw = _keyword_bonus_expr(F.col("qraw"), F.col("sw_set"), F.col("n_sw"))
+        base = self._with_pagerank(
+            base.join(meta_df, "doc_key", "left").join(
+                F.broadcast(qmeta), "query_id"
             )
-            base = base.join(pr, "doc_key", "left").na.fill({"page_rank": 0.0})
-        else:
-            base = base.withColumn("page_rank", F.lit(0.0))
+        )
         result = base.select(
             "query_id",
             "doc_key",
@@ -486,7 +491,7 @@ class DistributedRanker:
             F.col("weight").alias("tf_idf_weight"),
             "page_rank",
             kw.alias("keyword_match"),
-            (3 * F.col("weight") + 0.75 * F.col("page_rank") + kw).alias("score"),
+            _final_score_expr(kw).alias("score"),
         )
         out_rank = F.row_number().over(
             Window.partitionBy("query_id").orderBy(F.col("score").desc(), "doc_key")

@@ -77,7 +77,9 @@ def rank_check(exp, got, atol=1e-9):
     if set(es) != set(got["doc_key"]):
         return "docset"
     for d, s in zip(got["doc_key"], got["score"].astype(float)):
-        if abs(es[d] - s) > atol:
+        # NaN-safe: `abs(diff) > atol` is False for NaN and would let a
+        # partially-NaN regression through; require proven closeness
+        if not (abs(es[d] - s) <= atol):
             return "score"
     seq = [es[d] for d in got["doc_key"]]
     for i in range(len(seq) - 1):
@@ -108,8 +110,10 @@ def run_corpus(spark, vocab, seed, workdir, n_queries):
     queries = make_queries(rng, (hot, mid, rare), pdf, n_queries)
 
     fails = []
-    for q in queries:
+    exp_by_qid: dict[int, object] = {}
+    for qid, q in enumerate(queries):
         exp = engine.search(q)
+        exp_by_qid[qid] = exp
         got = dist.search(q)
         if len(exp) != len(got):
             fails.append((q, "ranker-len", len(got), len(exp)))
@@ -141,7 +145,7 @@ def run_corpus(spark, vocab, seed, workdir, n_queries):
     # (NaN queries: set equality, Q10)
     rbatch = dist.search_many(queries)
     for qid, q in enumerate(queries):
-        exp = engine.search(q)
+        exp = exp_by_qid[qid]  # same reference frame as the single check
         g = rbatch[rbatch["query_id"] == qid]
         if len(g) != len(exp):
             fails.append((q, "ranker-batch-len", len(g), len(exp)))
